@@ -1,0 +1,123 @@
+"""Text scalar functions (reference ``app/utils/text_processors.py``).
+
+Everything that can be a native Column expression is one (JVM-side, inside
+whole-stage codegen); only NFKC normalization and boundary-aware chunking need
+pandas UDFs (vectorized via Arrow). SURVEY.md §2.2 P7-P10.
+"""
+
+from __future__ import annotations
+
+import html
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Sentence-split regex shared with the extractor and the pandas oracle
+# (simplified from text_processors.py:47 — the lookbehind set that matters
+# for our grammar: break after . ! ? followed by whitespace).
+SENTENCE_SPLIT_REGEX = r"(?<=[.!?])\s+"
+
+
+def clean_text_col(col: Column) -> Column:
+    """Whitespace collapse + control-char strip + trim (text_processors.py:9-34).
+
+    HTML unescape / NFKC live in :func:`clean_text_udf`; this native variant
+    covers the regex part of the cleaning chain without leaving the JVM.
+    """
+    c = F.regexp_replace(col, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+@F.pandas_udf(T.StringType())
+def clean_text_udf(s: pd.Series) -> pd.Series:
+    """Full cleaning incl. HTML unescape + NFKC (text_processors.py:22-26)."""
+
+    def _clean(x: str | None) -> str:
+        if not x:
+            return ""
+        x = html.unescape(x)
+        x = unicodedata.normalize("NFKC", x)
+        return " ".join(x.split())
+
+    return s.map(_clean)
+
+
+def sentences_col(col: Column) -> Column:
+    """array<string> of sentences (text_processors.py:36-48) — native split."""
+    return F.filter(
+        F.transform(F.split(col, SENTENCE_SPLIT_REGEX), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+
+
+def word_tokens_col(col: Column) -> Column:
+    """Lowercased word tokens with punctuation stripped
+    (text_processors.py:63-67): array<string>."""
+    cleaned = F.lower(F.regexp_replace(col, r"[^\w\s]", " "))
+    return F.filter(F.split(cleaned, r"\s+"), lambda w: w != F.lit(""))
+
+
+def truncate_col(col: Column, max_length: int = 10000) -> Column:
+    """Cap text length before extraction (graph_extractor.py:511-514)."""
+    return F.when(
+        F.length(col) > max_length,
+        F.concat(F.substring(col, 1, max_length), F.lit("...")),
+    ).otherwise(col)
+
+
+def chunk_text(text: str, chunk_size: int = 4000, overlap: int = 200) -> list[str]:
+    """Boundary-aware overlapping chunks — semantics of
+    ``graph_extractor.py:583-619`` (sentence break preferred past the half-way
+    point, else word break, overlap carried backwards)."""
+    if len(text) <= chunk_size:
+        return [text]
+    chunks: list[str] = []
+    start = 0
+    while start < len(text):
+        end = start + chunk_size
+        if end < len(text):
+            sentence_break = text.rfind(".", start, end)
+            if sentence_break > start + chunk_size // 2:
+                end = sentence_break + 1
+            else:
+                word_break = text.rfind(" ", start, end)
+                if word_break > start + chunk_size // 2:
+                    end = word_break
+        chunks.append(text[start:end])
+        start = max(start + 1, end - overlap)
+    return chunks
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def chunk_text_udf(s: pd.Series) -> pd.Series:
+    """Vectorized wrapper over :func:`chunk_text`; pair with posexplode to
+    preserve chunk order (SURVEY.md §2.2 P9)."""
+    return s.map(lambda x: chunk_text(x or ""))
+
+
+# Language-marker sets (text_processors.py:171-174)
+LANGUAGE_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "that", "have", "for", "not", "with"),
+    "es": ("el", "la", "que", "de", "en", "y", "es", "por"),
+    "fr": ("le", "la", "les", "de", "en", "et", "est", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "für", "nicht"),
+}
+
+
+def language_scores_cols(tokens: Column) -> list[Column]:
+    """One marker-hit-count column per language, from a token array —
+    replaces the per-word Python loop of text_processors.py:177-180 with
+    native ``size(filter(...))`` expressions."""
+    out = []
+    for lang, markers in LANGUAGE_MARKERS.items():
+        lit_markers = F.array(*[F.lit(m) for m in markers])
+        out.append(
+            F.size(F.filter(tokens, lambda w: F.array_contains(lit_markers, w))).alias(
+                f"score_{lang}"
+            )
+        )
+    return out

@@ -1,0 +1,304 @@
+"""Triple extraction: the engine's core operator (SURVEY.md §2.3, T1-T6).
+
+Replaces the reference's per-chunk LLM call (``graph_extractor.py:205-377``)
+with a deterministic, fully vectorized pipeline:
+
+  documents(doc_id, spans)
+    → explode_spans                  (array_sort by offset + posexplode)
+    → extract_raw                    (scalar-iterator pandas UDF: gazetteer
+                                      mention scan + adjacency-pattern triples;
+                                      regexes compiled once per Python worker)
+    → resolve_triples                (broadcast alias join ×2, T4 canonical
+                                      predicate join, T5 direction flip,
+                                      T3 confidence default, dedup)
+
+Scale notes: the only Python is one Arrow-batched UDF over span text; every
+dictionary is a broadcast join (alias dict ~300 rows, semantic map 21 rows,
+direction table 9 rows); dedup is the single shuffle, keyed on
+(doc_id, subj, pred, obj) — doc_id leading keeps hub entities from skewing it.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import gazetteer as G
+from ..functions.text import SENTENCE_SPLIT_REGEX
+from ..vocab import (
+    ATTACK_CHAIN_PREDICATES,
+    CONNECTION_PREDICATES,
+    DIRECTION_SEMANTICS,
+    SEMANTIC_RELATIONSHIP_MAP,
+)
+
+# --- compiled pattern cache (one per Python worker process) -----------------
+
+
+@lru_cache(maxsize=1)
+def _mention_regex() -> re.Pattern:
+    surfaces = sorted(G.surface_to_entity(), key=len, reverse=True)
+    return re.compile("|".join(re.escape(s) for s in surfaces))
+
+
+@lru_cache(maxsize=1)
+def _relation_regex() -> re.Pattern:
+    # longest-first alternation with word boundaries; group -> raw predicate
+    # resolved via the surface map afterwards
+    pats = [re.escape(s) for s, _ in G.ALL_RELATION_SURFACES]
+    return re.compile(r"\b(?:" + "|".join(pats) + r")\b")
+
+
+@lru_cache(maxsize=1)
+def _sentence_regex() -> re.Pattern:
+    return re.compile(SENTENCE_SPLIT_REGEX)
+
+
+def _extract_from_text(text: str) -> tuple[list[tuple[str, int]], list[tuple[str, str, str, int]]]:
+    """(mentions, raw_triples) for one text blob.
+
+    Mention rule: leftmost-longest non-overlapping gazetteer matches per
+    sentence. Triple rule: for each *adjacent* mention pair, the inter-text
+    must contain a relation surface (longest wins) → (subj_surface, raw_pred,
+    obj_surface). Deterministic stand-in for the reference's LLM transform.
+    """
+    mentions: list[tuple[str, int]] = []
+    triples: list[tuple[str, str, str, int]] = []
+    if not text:
+        return mentions, triples
+    rel_map = G.relation_surface_map()
+    m_re, r_re = _mention_regex(), _relation_regex()
+    for sent_idx, sent in enumerate(_sentence_regex().split(text)):
+        ms = list(m_re.finditer(sent))
+        for m in ms:
+            mentions.append((m.group(0), sent_idx))
+        for a, b in zip(ms, ms[1:]):
+            inter = sent[a.end() : b.start()]
+            hit = r_re.search(inter)
+            if hit:
+                triples.append((a.group(0), rel_map[hit.group(0)], b.group(0), sent_idx))
+    return mentions, triples
+
+
+_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("span_order", T.IntegerType(), False),
+        T.StructField(
+            "mentions",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("surface", T.StringType(), False),
+                        T.StructField("sent_idx", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        T.StructField(
+            "raw_triples",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("subj_surface", T.StringType(), False),
+                        T.StructField("pred_raw", T.StringType(), False),
+                        T.StructField("obj_surface", T.StringType(), False),
+                        T.StructField("sent_idx", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+# --- span explode ------------------------------------------------------------
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, span_order, kind, text, media_ref, offset) — span order is the
+    rank of ``offset`` within the doc (input_hint invariant), computed by
+    sorting the array *before* posexplode: no window, no shuffle."""
+    sorted_spans = F.expr(
+        "array_sort(spans, (a, b) -> CASE WHEN a.offset < b.offset THEN -1 "
+        "WHEN a.offset > b.offset THEN 1 ELSE 0 END)"
+    )
+    return (
+        docs.select("doc_id", F.posexplode(sorted_spans).alias("span_order", "span"))
+        .select(
+            "doc_id",
+            F.col("span_order").cast("int").alias("span_order"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+    )
+
+
+# --- raw extraction (the pandas-UDF site) -----------------------------------
+
+
+def extract_raw(spans: DataFrame) -> DataFrame:
+    """mapInPandas over text spans → per-span mention + raw-triple arrays.
+
+    Scalar-iterator form so the compiled alternation regexes are built once
+    per worker (SURVEY.md §7 "what's hard" b), then reused across all Arrow
+    batches. Media spans are filtered out before the Python boundary.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "span_order": [], "mentions": [], "raw_triples": []}
+            for doc_id, span_order, text in zip(
+                pdf["doc_id"], pdf["span_order"], pdf["text"]
+            ):
+                mentions, triples = _extract_from_text(text)
+                out["doc_id"].append(doc_id)
+                out["span_order"].append(span_order)
+                out["mentions"].append(mentions)
+                out["raw_triples"].append(triples)
+            yield pd.DataFrame(out)
+
+    text_spans = spans.filter(F.col("kind") == "text").select(
+        "doc_id", "span_order", "text"
+    )
+    return text_spans.mapInPandas(run, schema=_EXTRACT_SCHEMA)
+
+
+# --- dictionary DataFrames (broadcast sides) --------------------------------
+
+
+def alias_df(spark: SparkSession) -> DataFrame:
+    """surface → (label, type, entity_class): the J3 alias dictionary; always
+    broadcast (north-rule requirement)."""
+    return spark.createDataFrame(
+        G.alias_rows(), schema="surface string, label string, type string, entity_class string"
+    )
+
+
+def semantic_map_df(spark: SparkSession) -> DataFrame:
+    rows = [(s, t, p, canon) for (s, t, p), canon in SEMANTIC_RELATIONSHIP_MAP.items()]
+    return spark.createDataFrame(
+        rows, schema="sm_src_type string, sm_dst_type string, sm_pred string, canonical string"
+    )
+
+
+def direction_df(spark: SparkSession) -> DataFrame:
+    rows = [(p, s, t) for p, (s, t) in DIRECTION_SEMANTICS.items()]
+    return spark.createDataFrame(
+        rows, schema="dir_pred string, expected_src string, expected_dst string"
+    )
+
+
+# --- resolution: T3/T4/T5 ----------------------------------------------------
+
+
+def resolve_triples(spark: SparkSession, raw: DataFrame) -> DataFrame:
+    """Raw surface triples → canonical typed triples (TRIPLE_SCHEMA).
+
+    Join order mirrors reference semantics exactly (graph_extractor.py:536-562):
+    alias resolution → T4 canonical-predicate rewrite → T5 direction flip
+    (no re-normalization after the flip).
+    """
+    aliases = F.broadcast(alias_df(spark))
+    exploded = raw.select(
+        "doc_id", F.explode("raw_triples").alias("t")
+    ).select(
+        "doc_id",
+        F.col("t.subj_surface").alias("subj_surface"),
+        F.col("t.pred_raw").alias("pred_raw"),
+        F.col("t.obj_surface").alias("obj_surface"),
+    )
+
+    subj_alias = aliases.select(
+        F.col("surface").alias("subj_surface"),
+        F.col("label").alias("subj"),
+        F.col("type").alias("subj_type"),
+    )
+    obj_alias = aliases.select(
+        F.col("surface").alias("obj_surface"),
+        F.col("label").alias("obj"),
+        F.col("type").alias("obj_type"),
+    )
+    resolved = (
+        exploded.join(F.broadcast(subj_alias), "subj_surface", "inner")
+        .join(F.broadcast(obj_alias), "obj_surface", "inner")
+    )
+
+    # T4: canonical predicate via 21-row broadcast map
+    sem = F.broadcast(semantic_map_df(spark))
+    resolved = resolved.join(
+        sem,
+        (resolved.subj_type == sem.sm_src_type)
+        & (resolved.obj_type == sem.sm_dst_type)
+        & (resolved.pred_raw == sem.sm_pred),
+        "left",
+    ).withColumn("pred", F.coalesce(F.col("canonical"), F.col("pred_raw")))
+
+    # T5: flip when observed types are exactly the expected pair swapped
+    direc = F.broadcast(direction_df(spark))
+    resolved = resolved.join(direc, resolved.pred == direc.dir_pred, "left")
+    flip = (
+        F.col("expected_src").isNotNull()
+        & (F.col("subj_type") == F.col("expected_dst"))
+        & (F.col("obj_type") == F.col("expected_src"))
+    )
+    resolved = (
+        resolved.withColumn("f_subj", F.when(flip, F.col("obj")).otherwise(F.col("subj")))
+        .withColumn("f_subj_type", F.when(flip, F.col("obj_type")).otherwise(F.col("subj_type")))
+        .withColumn("f_obj", F.when(flip, F.col("subj")).otherwise(F.col("obj")))
+        .withColumn("f_obj_type", F.when(flip, F.col("subj_type")).otherwise(F.col("obj_type")))
+    )
+
+    return (
+        resolved.select(
+            "doc_id",
+            F.col("f_subj").alias("subj"),
+            F.col("f_subj_type").alias("subj_type"),
+            "pred",
+            F.col("f_obj").alias("obj"),
+            F.col("f_obj_type").alias("obj_type"),
+        )
+        .dropDuplicates(["doc_id", "subj", "pred", "obj"])
+        .withColumn("confidence", F.lit(0.7))  # T3 default, graph_extractor.py:438
+    )
+
+
+def resolve_mentions(spark: SparkSession, raw: DataFrame) -> DataFrame:
+    """Distinct (doc_id, label, type, entity_class) mention set — node
+    candidates; alias dictionary broadcast."""
+    aliases = F.broadcast(alias_df(spark))
+    return (
+        raw.select("doc_id", F.explode("mentions").alias("m"))
+        .select("doc_id", F.col("m.surface").alias("surface"))
+        .join(aliases, "surface", "inner")
+        .select("doc_id", "label", "type", "entity_class")
+        .dropDuplicates(["doc_id", "label", "type"])
+    )
+
+
+def edge_class_col(pred: F.Column) -> F.Column:
+    """edge_class tagging (graph_extractor.py:479-482)."""
+    return (
+        F.when(pred.isin(*ATTACK_CHAIN_PREDICATES), F.lit("attack_chain"))
+        .when(pred.isin(*CONNECTION_PREDICATES), F.lit("connection"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def extract_triples(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """T6 orchestration: documents → canonical triples."""
+    return resolve_triples(spark, extract_raw(explode_spans(docs)))
+
+
+def extract_mentions(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    return resolve_mentions(spark, extract_raw(explode_spans(docs)))
