@@ -23,7 +23,7 @@ def looks_like_ip(col: Column) -> Column:
     """4 dot-separated octets 0-255 (auto_processor.py:106-115)."""
     octets = F.split(col, r"\.")
     in_range = F.forall(
-        F.transform(octets, lambda o: o.cast("int")),
+        F.transform(octets, lambda o: o.try_cast("int")),
         lambda v: v.isNotNull() & (v >= 0) & (v <= 255),
     )
     return col.rlike(_IP_RE) & in_range
@@ -33,8 +33,8 @@ def is_internal_ip(col: Column) -> Column:
     """RFC1918 + loopback membership (network_parser.py:16-21,56-62) via
     octet math — 10/8, 172.16/12, 192.168/16, 127/8."""
     o = F.split(col, r"\.")
-    o1 = F.element_at(o, 1).cast("int")
-    o2 = F.element_at(o, 2).cast("int")
+    o1 = F.get(o, 0).try_cast("int")
+    o2 = F.get(o, 1).try_cast("int")
     return looks_like_ip(col) & (
         (o1 == 10)
         | (o1 == 127)

@@ -1,0 +1,154 @@
+"""End-to-end KG-construction pipeline with checkpointed, resumable stages.
+
+The Spark re-expression of the reference's upload-csv lifecycle
+(SURVEY.md §3.1) generalized to the interleaved-documents north-star input:
+
+  stage extract      documents → spans → mentions+raw triples (pandas UDF)
+  stage resolve      alias/T4/T5 resolution → triples + mentions snapshots
+  stage canonicalize MinHash-LSH over distinct surface forms + connected
+                     components → canonical-surface map snapshot (bounded by
+                     |distinct surfaces|, NOT by corpus size — at 10^12 docs
+                     this stage's input is still the vocabulary)
+  stage materialize  nodes/edges snapshots partitioned by graph_id
+  stage metrics      per-partition lineage rows per stage → metrics table
+
+Every stage commits a snapshot through GraphStore and records itself in the
+manifest; ``run()`` skips stages whose manifest entry + snapshot exist, so a
+killed job resumes idempotently (S9 semantics, ``auto_processor.py:828-887``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import canonicalize as C
+from ..operators import extract as X
+from ..operators import graph_build as GB
+from ..operators import link as L
+from ..sources.graph_store import GraphStore
+from .lineage import partition_lineage
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    stages_run: list[str] = field(default_factory=list)
+    stages_skipped: list[str] = field(default_factory=list)
+    counts: dict[str, int] = field(default_factory=dict)
+
+
+def run(
+    spark: SparkSession,
+    docs: DataFrame,
+    store: GraphStore,
+    graph_id: str = "kg_main",
+    run_id: str = "run0",
+    enable_lsh_canonicalization: bool = True,
+) -> PipelineResult:
+    res = PipelineResult(run_id=run_id)
+    metrics_parts: list[DataFrame] = []
+
+    def stage(name: str, compute, *, write):
+        """Run-or-skip wrapper: compute() → write() → manifest mark."""
+        if store.is_done(name, graph_id):
+            res.stages_skipped.append(name)
+            return None
+        out = compute()
+        write(out)
+        store.mark_done(name, graph_id, run_id=run_id)
+        res.stages_run.append(name)
+        return out
+
+    # --- extract ---------------------------------------------------------------
+    def compute_extract():
+        raw = X.extract_raw(X.explode_spans(docs))
+        return raw
+
+    stage(
+        "extract",
+        compute_extract,
+        write=lambda df: store.write_snapshot("raw_extract", df, partition_by=()),
+    )
+    raw = store.read("raw_extract")
+    metrics_parts.append(partition_lineage(raw, run_id, "extract"))
+
+    # --- resolve ---------------------------------------------------------------
+    stage(
+        "resolve_triples",
+        lambda: X.resolve_triples(spark, raw),
+        write=lambda df: store.write_snapshot("triples", df, partition_by=()),
+    )
+    stage(
+        "resolve_mentions",
+        lambda: X.resolve_mentions(spark, raw),
+        write=lambda df: store.write_snapshot("mentions", df, partition_by=()),
+    )
+    triples = store.read("triples")
+    mentions = store.read("mentions")
+    metrics_parts.append(partition_lineage(triples, run_id, "resolve_triples"))
+
+    # --- canonicalize ------------------------------------------------------------
+    def compute_canonical():
+        surfaces = (
+            raw.select(F.explode("mentions").alias("m"))
+            .select(F.col("m.surface").alias("surface"))
+            .distinct()
+        )
+        if enable_lsh_canonicalization:
+            pairs = L.minhash_link(surfaces, jaccard_max_dist=0.35)
+            cmap = C.canonical_map_from_links(
+                pairs.select("surface_a", "surface_b")
+            )
+        else:
+            cmap = surfaces.select(
+                "surface", F.col("surface").alias("canonical_surface")
+            )
+        # identity rows for surfaces not in any link pair
+        return (
+            surfaces.join(cmap, "surface", "left")
+            .select(
+                "surface",
+                F.coalesce("canonical_surface", "surface").alias("canonical_surface"),
+            )
+        )
+
+    stage(
+        "canonicalize",
+        compute_canonical,
+        write=lambda df: store.write_snapshot("canonical_map", df, partition_by=()),
+    )
+
+    # --- materialize --------------------------------------------------------------
+    def compute_graph():
+        nodes = GB.semantic_nodes(mentions, graph_id)
+        edges = GB.semantic_edges(triples, graph_id)
+        return nodes, edges
+
+    if store.is_done("materialize", graph_id):
+        res.stages_skipped.append("materialize")
+    else:
+        nodes, edges = compute_graph()
+        store.store_graph(nodes, edges)
+        store.mark_done("materialize", graph_id, run_id=run_id)
+        res.stages_run.append("materialize")
+    nodes = store.read("nodes").filter(F.col("graph_id") == graph_id)
+    edges = store.read("edges").filter(F.col("graph_id") == graph_id)
+    metrics_parts.append(partition_lineage(nodes, run_id, "materialize_nodes"))
+    metrics_parts.append(partition_lineage(edges, run_id, "materialize_edges"))
+
+    # --- metrics -------------------------------------------------------------------
+    all_metrics = metrics_parts[0]
+    for p in metrics_parts[1:]:
+        all_metrics = all_metrics.unionByName(p)
+    store.write_snapshot("metrics", all_metrics, partition_by=())
+
+    res.counts = {
+        "triples": triples.count(),
+        "mentions": mentions.count(),
+        "nodes": nodes.count(),
+        "edges": edges.count(),
+    }
+    return res

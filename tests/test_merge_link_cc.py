@@ -1,0 +1,121 @@
+"""Merge semantics (S11/J3), entity linking, connected components, MinHashLSH."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_rag_spark import synth
+from knowledge_graph_rag_spark.operators import canonicalize as C
+from knowledge_graph_rag_spark.operators import extract as X
+from knowledge_graph_rag_spark.operators import graph_build as GB
+from knowledge_graph_rag_spark.operators import link as L
+from knowledge_graph_rag_spark.operators import network as N
+
+
+@pytest.fixture(scope="module")
+def merged(spark):
+    logs = synth.network_logs_df(spark, 400)
+    conns = N.score_connections(N.parse_logs(logs))
+    tn = GB.telemetry_nodes(conns, "g_tel")
+    te = GB.telemetry_edges(conns, "g_tel")
+    docs = synth.documents_df(spark, 80)
+    raw = X.extract_raw(X.explode_spans(docs)).cache()
+    sn = GB.semantic_nodes(X.resolve_mentions(spark, raw), "g_sem")
+    se = GB.semantic_edges(X.resolve_triples(spark, raw), "g_sem")
+    mn, me, stats = GB.merge_graphs(sn, se, tn, te, "g_merged")
+    return sn, tn, mn.cache(), me.cache(), {r.stat: r.value for r in stats.collect()}
+
+
+def test_merge_stats_consistent(merged):
+    sn, tn, mn, me, stats = merged
+    assert stats["merged_nodes"] == mn.count()
+    assert stats["semantic_nodes"] + stats["telemetry_nodes"] - stats["deduplicated"] == stats["merged_nodes"]
+    assert stats["new_correlations"] > 0  # IPs mentioned in text AND seen in telemetry
+
+
+def test_merge_no_duplicate_link_keys(merged):
+    _, _, mn, _, _ = merged
+    from knowledge_graph_rag_spark.functions.net import normalize_key
+
+    dups = (
+        mn.withColumn("k", normalize_key(F.col("label"), F.col("type")))
+        .groupBy("k").count().filter("count > 1").count()
+    )
+    assert dups == 0
+
+
+def test_correlated_nodes_have_both_sources(merged):
+    _, _, mn, _, _ = merged
+    both = mn.filter(F.size("sources") > 1)
+    for r in both.select("sources").collect():
+        assert r.sources == ["semantic", "telemetry"]
+    # telemetry props folded into correlated nodes
+    assert both.filter(F.col("connection_count").isNotNull()).count() > 0
+
+
+def test_merged_edges_endpoint_closure(merged):
+    """Dangling-edge drop (J1): every merged edge endpoint is a merged node."""
+    _, _, mn, me, _ = merged
+    ids = mn.select(F.col("node_id").alias("src"))
+    orphans = me.join(ids, "src", "left_anti").count()
+    ids_dst = mn.select(F.col("node_id").alias("dst"))
+    orphans += me.join(ids_dst, "dst", "left_anti").count()
+    assert orphans == 0
+
+
+def test_edge_dedup_on_key(merged):
+    _, _, _, me, _ = merged
+    assert me.count() == me.select("src", "dst", "rel_type").distinct().count()
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")], "u string, v string"
+    )
+    cc = {r.node: r.component for r in C.connected_components(edges).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == "a"
+    assert cc["d"] == cc["e"] == "d"
+
+
+def test_connected_components_chain(spark):
+    # long chain exercises multi-iteration convergence
+    n = 12
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n)], "u string, v string"
+    )
+    cc = C.connected_components(edges).collect()
+    assert {r.component for r in cc} == {"n00"}
+    assert len(cc) == n + 1
+
+
+def test_minhash_links_alias_variants(spark):
+    surfaces = spark.createDataFrame(
+        [("Acme Corp",), ("Acme Corporation",), ("Globex Corp",), ("Initech",)],
+        "surface string",
+    )
+    pairs = L.minhash_link(surfaces, jaccard_max_dist=0.6).collect()
+    linked = {(p.surface_a, p.surface_b) for p in pairs}
+    assert ("Acme Corp", "Acme Corporation") in linked
+    assert ("Acme Corp", "Initech") not in linked
+
+
+def test_cosine_link_and_embedding(spark):
+    surfaces = spark.createDataFrame(
+        [("Acme Corp",), ("Acme Corporation",), ("Zorg Corp",)], "surface string"
+    )
+    pairs = L.cosine_link(surfaces, threshold=0.5).collect()
+    got = {(p.surface_a, p.surface_b) for p in pairs}
+    assert ("Acme Corp", "Acme Corporation") in got
+    # embeddings are unit-norm
+    emb = surfaces.select(L.embed_surfaces(F.col("surface")).alias("e")).collect()
+    for r in emb:
+        norm = sum(x * x for x in r.e) ** 0.5
+        assert abs(norm - 1.0) < 1e-3
+
+
+def test_canonical_map_from_links(spark):
+    pairs = spark.createDataFrame(
+        [("Acme Corp", "Acme Corporation"), ("Acme Corporation", "ACME")],
+        "surface_a string, surface_b string",
+    )
+    cmap = {r.surface: r.canonical_surface for r in C.canonical_map_from_links(pairs).collect()}
+    assert len(set(cmap.values())) == 1  # one cluster, one representative

@@ -1,0 +1,136 @@
+"""GraphStore snapshot/MERGE semantics + pipeline checkpoint/resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_rag_spark import synth
+from knowledge_graph_rag_spark.plans import pipeline
+from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return GraphStore(spark, str(tmp_path / "warehouse"))
+
+
+def _mini_nodes(spark, gid, rows):
+    return spark.createDataFrame(
+        [(gid, nid, lbl, typ) for nid, lbl, typ in rows],
+        "graph_id string, node_id string, label string, type string",
+    ).withColumn("score", F.lit(None).cast("double"))
+
+
+def _mini_edges(spark, gid, rows):
+    return spark.createDataFrame(
+        [(gid, f"e{i}", s, d, r) for i, (s, d, r) in enumerate(rows)],
+        "graph_id string, edge_id string, src string, dst string, rel_type string",
+    )
+
+
+def test_snapshot_roundtrip_and_list(spark, store):
+    n = _mini_nodes(spark, "g1", [("a", "A", "Person")])
+    e = _mini_edges(spark, "g1", [("a", "a", "KNOWS")])
+    store.store_graph(n, e)
+    assert store.list_graphs() == ["g1"]
+    got_n, got_e = store.get_graph("g1")
+    assert got_n.count() == 1 and got_e.count() == 1
+
+
+def test_store_graph_idempotent(spark, store):
+    n = _mini_nodes(spark, "g1", [("a", "A", "Person")])
+    e = _mini_edges(spark, "g1", [("a", "a", "KNOWS")])
+    store.store_graph(n, e)
+    store.store_graph(n, e)  # re-run: same graph_id replaced, not duplicated
+    assert store.read("nodes").count() == 1
+
+
+def test_merge_upsert_keep_existing_label(spark, store):
+    """S11: on-match keep existing label/type, overwrite value props
+    (neo4j_service.py:132-141)."""
+    n1 = _mini_nodes(spark, "g1", [("a", "Old Label", "Person")]).withColumn(
+        "score", F.lit(1.0)
+    )
+    store.store_graph(n1, _mini_edges(spark, "g1", [("a", "a", "KNOWS")]))
+    n2 = _mini_nodes(spark, "g1", [("a", "New Label", "Device"), ("b", "B", "Port")]).withColumn(
+        "score", F.lit(2.0)
+    )
+    store.store_graph_merge(n2, _mini_edges(spark, "g1", [("a", "b", "USES_PORT")]), "g1")
+    rows = {r.node_id: r for r in store.read("nodes").collect()}
+    assert rows["a"].label == "Old Label" and rows["a"].type == "Person"
+    assert rows["a"].score == 2.0  # value prop overwritten by incoming
+    assert rows["b"].label == "B"
+    edges = {(r.src, r.dst, r.rel_type) for r in store.read("edges").collect()}
+    assert edges == {("a", "a", "KNOWS"), ("a", "b", "USES_PORT")}
+
+
+def test_delete_graph(spark, store):
+    store.store_graph(
+        _mini_nodes(spark, "g1", [("a", "A", "Person")]),
+        _mini_edges(spark, "g1", [("a", "a", "KNOWS")]),
+    )
+    store.store_graph(
+        _mini_nodes(spark, "g2", [("b", "B", "Person")]),
+        _mini_edges(spark, "g2", [("b", "b", "KNOWS")]),
+    )
+    store.delete_graph("g1")
+    assert store.list_graphs() == ["g2"]
+
+
+def test_pipeline_run_and_resume(spark, store):
+    docs = synth.documents_df(spark, 40)
+    res1 = pipeline.run(spark, docs, store, graph_id="kg", run_id="r1",
+                        enable_lsh_canonicalization=False)
+    assert res1.stages_run and not res1.stages_skipped
+    nodes1 = store.read("nodes")
+    triples1 = store.read("triples")
+    c_nodes, c_triples = nodes1.count(), triples1.count()
+    assert c_nodes > 0 and c_triples > 0
+
+    # second run resumes: every stage skipped, outputs identical
+    res2 = pipeline.run(spark, docs, store, graph_id="kg", run_id="r2",
+                        enable_lsh_canonicalization=False)
+    assert not res2.stages_run
+    assert set(res2.stages_skipped) >= {"extract", "resolve_triples", "materialize"}
+    assert store.read("nodes").count() == c_nodes
+    assert store.read("triples").count() == c_triples
+
+
+def test_pipeline_resume_after_partial_failure(spark, store, tmp_path):
+    """Kill-after-stage-k contract: mark only the extract stage done, re-run,
+    and the final tables must equal an uninterrupted run's."""
+    docs = synth.documents_df(spark, 30)
+    # uninterrupted reference run in a second store
+    ref_store = GraphStore(spark, str(tmp_path / "ref_wh"))
+    pipeline.run(spark, docs, ref_store, graph_id="kg", run_id="ref",
+                 enable_lsh_canonicalization=False)
+
+    # partial run: execute extract only, then "crash"
+    from knowledge_graph_rag_spark.operators import extract as X
+
+    raw = X.extract_raw(X.explode_spans(docs))
+    store.write_snapshot("raw_extract", raw, partition_by=())
+    store.mark_done("extract", "kg", run_id="crashed")
+
+    res = pipeline.run(spark, docs, store, graph_id="kg", run_id="resumed",
+                       enable_lsh_canonicalization=False)
+    assert "extract" in res.stages_skipped and "materialize" in res.stages_run
+
+    ref_triples = {tuple(r) for r in ref_store.read("triples").collect()}
+    got_triples = {tuple(r) for r in store.read("triples").collect()}
+    assert got_triples == ref_triples
+    ref_nodes = {r.node_id for r in ref_store.read("nodes").collect()}
+    got_nodes = {r.node_id for r in store.read("nodes").collect()}
+    assert got_nodes == ref_nodes
+
+
+def test_lineage_metrics_written(spark, store):
+    docs = synth.documents_df(spark, 20)
+    pipeline.run(spark, docs, store, graph_id="kg", run_id="r1",
+                 enable_lsh_canonicalization=False)
+    m = store.read("metrics")
+    stages = {r.stage for r in m.select("stage").distinct().collect()}
+    assert {"extract", "resolve_triples", "materialize_nodes"} <= stages
+    from knowledge_graph_rag_spark.plans.lineage import totals
+
+    t = totals(m).collect()
+    assert all(r.value >= 0 and r.partitions >= 1 for r in t)
