@@ -1,0 +1,90 @@
+"""Benchmark harness (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "kg": {"docs": N, "docs_per_sec": N, "triples": N}}
+
+The KG-extraction throughput (docs/sec) is the north-rule headline — the
+reference's full pipeline does ≈167 rows/s (BASELINE.md); scaling-efficiency
+evidence across two parallelism levels lives in BENCH/run_scaling.py →
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from knowledge_graph_rag_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline subset of the driver query pack (one per operator family)
+HEADLINE = [
+    "top_talkers",
+    "exploit_preparation",
+    "top3_types_per_user",
+    "degree_spikes",
+    "pricing_summary",
+    "revenue_by_nation",
+    "keywords_topk",
+    "language_detect",
+    "exact_dedup_by_source",
+    "ngram_jaccard_pairs",
+    "knn_bruteforce",
+]
+
+
+def main() -> None:
+    from knowledge_graph_rag_spark import synth
+    from knowledge_graph_rag_spark.operators import extract as X
+    from knowledge_graph_rag_spark.plans import driver_queries as DQ
+
+    spark = get_spark(app_name="kgrs-bench", cores=CPUS)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    timings: dict[str, float] = {}
+    qs = DQ.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        # force full execution without driver-side collect costs
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # KG pipeline throughput: interleaved corpus sized 2× the documents table
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count() * 2
+    docs = synth.documents_df(spark, n_docs)
+    t0 = time.time()
+    triples = X.extract_triples(spark, docs)
+    n_triples = triples.count()
+    kg_sec = time.time() - t0
+    timings["kg_extract_triples"] = round(kg_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_kg_extraction",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "kg": {
+                    "docs": n_docs,
+                    "docs_per_sec": round(n_docs / kg_sec, 1),
+                    "triples": n_triples,
+                    "cores": CPUS,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,932 @@
+"""Driver-contract query pack: each entry pairs a Spark DataFrame plan with an
+equivalent DuckDB SQL oracle over the driver testdata tables
+(`region nation customer supplier part orders lineitem events documents
+embeddings`). This is the correctness gate (__spark_entry__.py).
+
+The relational entries recast the reference's template/aggregation semantics
+(SURVEY.md §2.5 A11-A19, §2.6 W1-W5, §2.8 U1-U2) onto the ``events`` table
+(user_id ↔ source ip, event_type ↔ port/protocol); the text entries cover
+§2.2 P7-P8 + the training-data-pipeline ops (dedup, fingerprint, quality,
+language-ID, token counting); the embedding entries cover similarity search.
+
+Determinism rules applied throughout (both sides):
+- every float output is round()ed; every LIMIT is preceded by a total
+  tiebreak order; no-limit queries carry no ORDER BY (the driver hash is
+  order-insensitive)
+- arrays are sorted before slicing and joined to strings
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+
+_registry: dict[str, tuple] = {}  # name -> (spark_fn, sql_or_None)
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        _registry[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), r"\W+"), lambda w: w != F.lit(""))
+
+
+# === events: per-key aggregation templates (A11-A17 shapes) =================
+
+
+@q(
+    "top_talkers",
+    """
+    SELECT user_id, count(*) AS connections, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    ORDER BY connections DESC, user_id LIMIT 10
+    """,
+)
+def top_talkers(spark, sf_dir):
+    """A13: per-key count + volume, distributed top-k."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("connections"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.desc("connections"), "user_id")
+        .limit(10)
+    )
+
+
+@q(
+    "attacks_detected",
+    """
+    WITH per_user AS (
+      SELECT user_id, count(DISTINCT event_type) AS kinds, count(*) AS total
+      FROM events GROUP BY user_id
+    ), bucketed AS (
+      SELECT CASE WHEN total > 90 THEN 'Very High Activity'
+                  WHEN total > 75 THEN 'High Activity'
+                  ELSE 'Normal Activity' END AS threat_type,
+             user_id
+      FROM per_user
+    )
+    SELECT threat_type, count(user_id) AS affected_users,
+           array_to_string(list_sort(list(user_id))[1:5], ',') AS sample_users
+    FROM bucketed GROUP BY threat_type
+    """,
+)
+def attacks_detected(spark, sf_dir):
+    """A11: CASE bucketing of per-key stats, per-bucket count + samples."""
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("kinds"), F.count("*").alias("total"))
+        .withColumn(
+            "threat_type",
+            F.when(F.col("total") > 90, "Very High Activity")
+            .when(F.col("total") > 75, "High Activity")
+            .otherwise("Normal Activity"),
+        )
+    )
+    return per_user.groupBy("threat_type").agg(
+        F.count("user_id").alias("affected_users"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("user_id")), 1, 5),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("sample_users"),
+    )
+
+
+@q(
+    "anomalies",
+    """
+    SELECT user_id,
+           count(DISTINCT event_type) AS kinds,
+           count(*) AS connections,
+           round(sum(value), 2) AS total_value,
+           CASE WHEN count(*) > 90 THEN 'Critical'
+                WHEN count(*) > 80 THEN 'High'
+                ELSE 'Medium' END AS severity
+    FROM events GROUP BY user_id HAVING count(*) > 70
+    ORDER BY connections DESC, user_id LIMIT 15
+    """,
+)
+def anomalies(spark, sf_dir):
+    """A12: thresholds + severity CASE ladder + top-k."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("event_type").alias("kinds"),
+            F.count("*").alias("connections"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .filter(F.col("connections") > 70)
+        .withColumn(
+            "severity",
+            F.when(F.col("connections") > 90, "Critical")
+            .when(F.col("connections") > 80, "High")
+            .otherwise("Medium"),
+        )
+        .orderBy(F.desc("connections"), "user_id")
+        .limit(15)
+    )
+
+
+@q(
+    "multi_stage",
+    """
+    SELECT user_id, count(DISTINCT event_type) AS kinds, count(*) AS total,
+           'Multi-Stage' AS threat_type
+    FROM events GROUP BY user_id
+    HAVING count(DISTINCT event_type) >= 5 AND count(*) > 80
+    """,
+)
+def multi_stage(spark, sf_dir):
+    """A16 multi_stage: conjunctive thresholds."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("kinds"), F.count("*").alias("total"))
+        .filter((F.col("kinds") >= 5) & (F.col("total") > 80))
+        .withColumn("threat_type", F.lit("Multi-Stage"))
+    )
+
+
+@q(
+    "exploit_preparation",
+    """
+    WITH tc AS (
+      SELECT user_id, event_type, count(*) AS type_count
+      FROM events GROUP BY user_id, event_type
+    ), per_user AS (
+      SELECT user_id, count(*) AS distinct_types, sum(type_count) AS total_events
+      FROM tc GROUP BY user_id
+      HAVING count(*) >= 4 AND sum(type_count) >= 50
+    ), ranked AS (
+      SELECT tc.user_id, tc.type_count,
+             row_number() OVER (PARTITION BY tc.user_id
+                                ORDER BY tc.type_count DESC, tc.event_type) AS rn
+      FROM tc JOIN per_user USING (user_id)
+    ), top2 AS (
+      SELECT user_id, sum(type_count) AS top2_count
+      FROM ranked WHERE rn <= 2 GROUP BY user_id
+    )
+    SELECT p.user_id, p.distinct_types, p.total_events, t.top2_count,
+           round(100.0 * t.top2_count / p.total_events) / 100.0 AS focus_ratio,
+           CASE WHEN round(100.0 * t.top2_count / p.total_events) / 100.0 >= 0.6
+                THEN 'Critical - Highly Focused'
+                WHEN round(100.0 * t.top2_count / p.total_events) / 100.0 >= 0.45
+                THEN 'High - Targeted'
+                ELSE 'Medium' END AS threat_level
+    FROM per_user p JOIN top2 t USING (user_id)
+    WHERE round(100.0 * t.top2_count / p.total_events) / 100.0 >= 0.4
+    ORDER BY focus_ratio DESC, p.user_id LIMIT 10
+    """,
+)
+def exploit_preparation(spark, sf_dir):
+    """A17 flagship shape: two-level agg + per-key top-N window + struct-free
+    focus ratio + CASE + top-k (cypher_query_service.py:282-317)."""
+    events = _t(spark, sf_dir, "events")
+    tc = events.groupBy("user_id", "event_type").agg(F.count("*").alias("type_count"))
+    per_user = (
+        tc.groupBy("user_id")
+        .agg(
+            F.count("*").alias("distinct_types"),
+            F.sum("type_count").alias("total_events"),
+        )
+        .filter((F.col("distinct_types") >= 4) & (F.col("total_events") >= 50))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("type_count"), "event_type")
+    top2 = (
+        tc.join(per_user.select("user_id"), "user_id", "left_semi")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(F.sum("type_count").alias("top2_count"))
+    )
+    ratio = F.round(F.lit(100.0) * F.col("top2_count") / F.col("total_events")) / 100.0
+    return (
+        per_user.join(top2, "user_id")
+        .withColumn("focus_ratio", ratio)
+        .filter(F.col("focus_ratio") >= 0.4)
+        .withColumn(
+            "threat_level",
+            F.when(F.col("focus_ratio") >= 0.6, "Critical - Highly Focused")
+            .when(F.col("focus_ratio") >= 0.45, "High - Targeted")
+            .otherwise("Medium"),
+        )
+        .select(
+            "user_id", "distinct_types", "total_events", "top2_count",
+            "focus_ratio", "threat_level",
+        )
+        .orderBy(F.desc("focus_ratio"), "user_id")
+        .limit(10)
+    )
+
+
+@q(
+    "topology",
+    """
+    SELECT * FROM (
+      SELECT event_type AS entity_type, count(*) AS cnt FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'lang: ' || lang AS entity_type, count(*) AS cnt FROM documents GROUP BY lang
+    ) ORDER BY cnt DESC, entity_type LIMIT 20
+    """,
+)
+def topology(spark, sf_dir):
+    """U1/A15: union of two per-type counts + top-k."""
+    e = _t(spark, sf_dir, "events").groupBy(
+        F.col("event_type").alias("entity_type")
+    ).agg(F.count("*").alias("cnt"))
+    d = _t(spark, sf_dir, "documents").groupBy(
+        F.concat(F.lit("lang: "), F.col("lang")).alias("entity_type")
+    ).agg(F.count("*").alias("cnt"))
+    return e.unionByName(d).orderBy(F.desc("cnt"), "entity_type").limit(20)
+
+
+@q(
+    "share_of_total",
+    """
+    SELECT event_type, count(*) AS usage,
+           round(count(*) * 100.0 / (SELECT count(*) FROM events), 2) AS pct
+    FROM events GROUP BY event_type
+    """,
+)
+def share_of_total(spark, sf_dir):
+    """W2/A8: share-of-total via window over the tiny aggregate."""
+    per = _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("*").alias("usage")
+    )
+    w = Window.partitionBy()
+    return per.withColumn(
+        "pct", F.round(F.col("usage") * 100.0 / F.sum("usage").over(w), 2)
+    )
+
+
+@q(
+    "degree_spikes",
+    """
+    WITH deg AS (
+      SELECT user_id, count(*) AS observed FROM events GROUP BY user_id
+    ), base AS (
+      SELECT round(avg(observed) + 2 * stddev_pop(observed), 3) AS threshold FROM deg
+    )
+    SELECT user_id, observed FROM deg, base
+    WHERE observed > threshold AND observed > 5
+    """,
+)
+def degree_spikes(spark, sf_dir):
+    """A6: mean+2σ baseline broadcast back onto the per-key counts."""
+    deg = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("observed")
+    )
+    base = deg.agg(
+        F.round(F.avg("observed") + 2 * F.stddev_pop("observed"), 3).alias("threshold")
+    )
+    return (
+        deg.crossJoin(F.broadcast(base))
+        .filter((F.col("observed") > F.col("threshold")) & (F.col("observed") > 5))
+        .select("user_id", "observed")
+    )
+
+
+@q(
+    "first_event_per_user",
+    """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def first_event_per_user(spark, sf_dir):
+    """W5: first-seen-wins dedup via ranked window."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@q(
+    "top3_types_per_user",
+    """
+    SELECT user_id, event_type, cnt, rn FROM (
+      SELECT user_id, event_type, count(*) AS cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn <= 3
+    """,
+)
+def top3_types_per_user(spark, sf_dir):
+    """W1: per-key top-3 by count (the exploit_preparation inner window)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), "event_type")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@q(
+    "hourly_activity",
+    """
+    SELECT hour(ts) AS hour_of_day, count(*) AS events_cnt,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY hour(ts)
+    """,
+)
+def hourly_activity(spark, sf_dir):
+    """Time banding (anomaly_detector.py:100-125 hour scoring / A18)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.hour("ts").alias("hour_of_day"))
+        .agg(
+            F.count("*").alias("events_cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@q(
+    "active_users_union",
+    """
+    SELECT count(*) AS unique_users FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type IN ('click', 'view')
+    )
+    """,
+)
+def active_users_union(spark, sf_dir):
+    """U2: distinct union cardinality."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("user_id")
+        .distinct()
+        .agg(F.count("*").alias("unique_users"))
+    )
+
+
+@q(
+    "users_without_big_purchase",
+    """
+    SELECT DISTINCT user_id FROM events
+    WHERE user_id NOT IN (
+      SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 400
+    )
+    """,
+)
+def users_without_big_purchase(spark, sf_dir):
+    """A19 orphan shape: anti join."""
+    events = _t(spark, sf_dir, "events")
+    big = events.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 400)
+    ).select("user_id")
+    return events.select("user_id").distinct().join(big, "user_id", "left_anti")
+
+
+# === TPC-H-ish relational (scan/filter/join/agg pushdown showcases) ==========
+
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 2) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: predicate pushdown + grouped aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation, count(*) AS orders_cnt,
+           round(sum(o.o_totalprice), 1) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(spark, sf_dir):
+    """3-way join: big fact ⋈ broadcast customer ⋈ broadcast nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("orders_cnt"),
+            F.round(F.sum("o_totalprice"), 1).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "top_customers_by_orders",
+    """
+    SELECT c.c_custkey, c.c_name, count(*) AS orders_cnt
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY orders_cnt DESC, c.c_custkey LIMIT 10
+    """,
+)
+def top_customers_by_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("*").alias("orders_cnt"))
+        .orderBy(F.desc("orders_cnt"), "c_custkey")
+        .limit(10)
+    )
+
+
+@q(
+    "customers_with_orders_by_nation",
+    """
+    SELECT n.n_name AS nation, count(*) AS active_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY n.n_name
+    """,
+)
+def customers_with_orders_by_nation(spark, sf_dir):
+    """Left-semi join (EXISTS) + broadcast dim."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, "c_custkey", "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("active_customers"))
+    )
+
+
+# === documents: text analysis / training-data ops ============================
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+@q(
+    "keywords_topk",
+    """
+    SELECT word, count(*) AS freq FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                x -> length(x) >= 3)) AS word
+      FROM documents
+    ) GROUP BY word ORDER BY freq DESC, word LIMIT 10
+    """,
+)
+def keywords_topk(spark, sf_dir):
+    """P8 keyword extraction: token explode + top-k by frequency."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.filter(_tokens(F.col("text")), lambda w: F.length(w) >= 3)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(10)
+    )
+
+
+_MARKERS = {
+    "en": ("the", "and", "that", "have", "for", "not", "with"),
+    "es": ("el", "la", "que", "de", "en", "y", "es", "por"),
+    "fr": ("le", "la", "les", "de", "en", "et", "est", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in _MARKERS[lang])
+    return (
+        "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        f"x -> x IN ({lst})))"
+    )
+
+
+@q(
+    "language_detect",
+    f"""
+    WITH scores AS (
+      SELECT doc_id,
+             {_marker_sql('en')} AS s_en, {_marker_sql('es')} AS s_es,
+             {_marker_sql('fr')} AS s_fr, {_marker_sql('de')} AS s_de
+      FROM documents
+    )
+    SELECT CASE
+             WHEN s_en >= 2 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+             WHEN s_es >= 2 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+             WHEN s_fr >= 2 AND s_fr >= s_de THEN 'fr'
+             WHEN s_de >= 2 THEN 'de'
+             ELSE 'unknown' END AS detected,
+           count(*) AS docs
+    FROM scores GROUP BY 1
+    """,
+)
+def language_detect(spark, sf_dir):
+    """P8 language-ID (text_processors.py:154-196): marker-word counts with
+    fixed precedence en > es > fr > de, ≥2 hits required."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+
+    def score(lang):
+        markers = F.array(*[F.lit(m) for m in _MARKERS[lang]])
+        return F.size(F.filter(toks, lambda w: F.array_contains(markers, w)))
+
+    scored = docs.select(
+        score("en").alias("s_en"), score("es").alias("s_es"),
+        score("fr").alias("s_fr"), score("de").alias("s_de"),
+    )
+    detected = (
+        F.when(
+            (F.col("s_en") >= 2)
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_de")),
+            "en",
+        )
+        .when(
+            (F.col("s_es") >= 2)
+            & (F.col("s_es") >= F.col("s_fr"))
+            & (F.col("s_es") >= F.col("s_de")),
+            "es",
+        )
+        .when((F.col("s_fr") >= 2) & (F.col("s_fr") >= F.col("s_de")), "fr")
+        .when(F.col("s_de") >= 2, "de")
+        .otherwise("unknown")
+    )
+    return scored.select(detected.alias("detected")).groupBy("detected").agg(
+        F.count("*").alias("docs")
+    )
+
+
+@q(
+    "token_stats_by_lang",
+    """
+    SELECT lang,
+           sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')))
+             AS total_tokens,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def token_stats_by_lang(spark, sf_dir):
+    """Token counting (whitespace tokenizer) per language."""
+    docs = _t(spark, sf_dir, "documents")
+    ws_tokens = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(ws_tokens)).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+@q(
+    "quality_buckets",
+    """
+    WITH scored AS (
+      SELECT len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x IN ('the','a','and','of','to','in','is')))
+               AS n_stop
+      FROM documents
+    )
+    SELECT CASE WHEN n_tokens < 30 THEN 'short'
+                WHEN n_stop * 1.0 / n_tokens > 0.15 THEN 'stopword_heavy'
+                ELSE 'ok' END AS quality_bucket,
+           count(*) AS docs
+    FROM scored GROUP BY 1
+    """,
+)
+def quality_buckets(spark, sf_dir):
+    """Quality scoring: length + stopword-ratio buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS])
+    scored = docs.select(
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stops, w))).alias("n_stop"),
+    )
+    bucket = (
+        F.when(F.col("n_tokens") < 30, "short")
+        .when(F.col("n_stop") * 1.0 / F.col("n_tokens") > 0.15, "stopword_heavy")
+        .otherwise("ok")
+    )
+    return scored.select(bucket.alias("quality_bucket")).groupBy(
+        "quality_bucket"
+    ).agg(F.count("*").alias("docs"))
+
+
+@q(
+    "exact_dedup_by_source",
+    """
+    SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+    FROM documents GROUP BY source
+    """,
+)
+def exact_dedup_by_source(spark, sf_dir):
+    """Exact dedup: content-hash distinct counts per source."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+        )
+    )
+
+
+@q(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, substr(md5(text), 1, 8) AS fp, n_chars FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting (content hash prefix)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.md5("text"), 1, 8).alias("fp"), "n_chars"
+    )
+
+
+@q(
+    "ngram_jaccard_pairs",
+    """
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        FOR i IN range(1, len(w) - 1) ]) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                 x -> x <> '') AS w
+              FROM documents)
+        WHERE len(w) >= 3
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+      FROM shingles a JOIN shingles b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(isect * 1.0 / (sa.sz + sb.sz - isect), 3) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE isect * 1.0 / (sa.sz + sb.sz - isect) >= 0.12
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup detection: word-3-gram shingle sets → pairwise Jaccard via
+    shingle-join (the exact counterpart the MinHash-LSH path approximates)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = _tokens(F.col("text"))
+    shingles = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("w"), 1, F.size("w") - 2),
+                    lambda x, i: F.concat_ws(
+                        " ", x, F.get(F.col("w"), i + 1), F.get(F.col("w"), i + 2)
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("isect"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("isect") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("isect"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.12)
+        .select("doc_a", "doc_b", F.round(jac, 3).alias("jaccard"))
+    )
+
+
+# === embeddings: similarity search ===========================================
+
+
+@q(
+    "knn_bruteforce",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.e, c.e), 4) AS cosine
+      FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 3
+    """,
+)
+def knn_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: JVM-side zip_with/aggregate dot
+    product, rank window. Rounded BEFORE ranking so both engines break ties
+    identically."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        F.broadcast(qs)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("qe")) * norm(F.col("e"))), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@q(
+    "label_centroid_summary",
+    """
+    SELECT label, count(*) AS n_vecs,
+           round(avg((embedding::DOUBLE[])[1]), 4) AS avg_dim0
+    FROM embeddings GROUP BY label
+    """,
+)
+def label_centroid_summary(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(F.get(F.col("embedding"), 0).cast("double")), 4).alias(
+                "avg_dim0"
+            ),
+        )
+    )
+
+
+# === KG pipeline entries (non-SQL-expressible → rows-only driver check) ======
+
+
+def _synth_docs(spark, sf_dir):
+    """Deterministic interleaved corpus sized from the driver documents table
+    (local synthesis — the F1 table isn't driver-provided; TESTDATA.md F5)."""
+    from .. import synth
+
+    n = _t(spark, sf_dir, "documents").count()
+    return synth.documents_df(spark, n * 2)
+
+
+def kg_triples(spark, sf_dir):
+    """North-star extraction: interleaved docs → canonical typed triples."""
+    from ..operators import extract as X
+
+    return X.extract_triples(spark, _synth_docs(spark, sf_dir))
+
+
+def kg_node_summary(spark, sf_dir):
+    """Materialized semantic nodes per type/entity_class."""
+    from ..operators import extract as X
+    from ..operators import graph_build as GB
+
+    mentions = X.extract_mentions(spark, _synth_docs(spark, sf_dir))
+    nodes = GB.semantic_nodes(mentions, "kg")
+    return (
+        nodes.groupBy("type", "entity_class")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("type")
+    )
+
+
+def minhash_surface_candidates(spark, sf_dir):
+    """MinHash-LSH near-dup candidates over distinct mention surfaces."""
+    from ..operators import extract as X
+    from ..operators import link as L
+
+    raw = X.extract_raw(X.explode_spans(_synth_docs(spark, sf_dir)))
+    surfaces = (
+        raw.select(F.explode("mentions").alias("m"))
+        .select(F.col("m.surface").alias("surface"))
+        .distinct()
+    )
+    return L.minhash_link(surfaces, jaccard_max_dist=0.4).orderBy(
+        "surface_a", "surface_b"
+    )
+
+
+def media_span_manifest(spark, sf_dir):
+    """Multimodal plumbing: media spans (binary refs) per kind with offsets."""
+    from ..operators import extract as X
+
+    spans = X.explode_spans(_synth_docs(spark, sf_dir))
+    return (
+        spans.filter(F.col("kind") != "text")
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("kind")
+    )
+
+
+_ROWS_ONLY = {
+    "kg_triples": kg_triples,
+    "kg_node_summary": kg_node_summary,
+    "minhash_surface_candidates": minhash_surface_candidates,
+    "media_span_manifest": media_span_manifest,
+}
+
+
+# === public API ===============================================================
+
+
+def queries() -> dict:
+    out = {name: fn for name, (fn, _) in _registry.items()}
+    out.update(_ROWS_ONLY)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in _registry.items() if sql is not None}
