@@ -1,0 +1,112 @@
+"""Scaling-efficiency evidence for the north rule: the same KG-extraction job
+at two parallelism levels (local[4] vs local[16] — the sandbox stand-in for N
+vs 4N executors; 16 leaves headroom for the shared JVM/OS on the 32-core host,
+mirroring how executor cores are provisioned below node cores on a real cluster), throughput at both + efficiency = (T_N / T_4N) / 4.
+
+Each level runs in its own subprocess so the JVM/session is cold-started
+identically; the measured section excludes session startup (we time the job,
+not the JVM boot, mirroring how a long-lived cluster amortizes startup).
+
+Usage: python BENCH/run_scaling.py [n_docs]  (default 20000)
+Writes BENCH/scaling_results.json and regenerates BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from knowledge_graph_rag_spark.session import get_spark
+from knowledge_graph_rag_spark import synth
+from knowledge_graph_rag_spark.operators import extract as X
+
+cores, n_docs = int(sys.argv[1]), int(sys.argv[2])
+spark = get_spark(app_name=f"kgrs-scale-{{cores}}", cores=cores,
+                  shuffle_partitions=max(8, cores))
+docs = synth.documents_df(spark, n_docs)
+# warm-up: JIT + Python worker pool (enough partitions to spin every worker)
+X.extract_triples(spark, synth.documents_df(spark, cores * 512)).count()
+t0 = time.time()
+n_triples = X.extract_triples(spark, docs).count()
+elapsed = time.time() - t0
+print(json.dumps({{"cores": cores, "docs": n_docs, "sec": round(elapsed, 3),
+                   "docs_per_sec": round(n_docs / elapsed, 1),
+                   "triples": n_triples}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, n_docs: int) -> dict:
+    code = _CHILD.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), str(n_docs)],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
+    lo = run_level(4, n_docs)
+    hi = run_level(16, n_docs)
+    speedup = lo["sec"] / hi["sec"]
+    efficiency = round(speedup / 4.0, 3)
+    results = {
+        "job": "kg_extract_triples (documents → spans → mentions/triples → "
+               "alias+T4+T5 resolution → distinct)",
+        "n_docs": n_docs,
+        "low": lo,
+        "high": hi,
+        "speedup_N_to_4N": round(speedup, 3),
+        "scaling_efficiency": efficiency,
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+    }
+    out_path = os.path.join(REPO, "BENCH", "scaling_results.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+    md = f"""# BENCH/BASELINE — scaling + throughput evidence
+
+North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
+parallelism. No real cluster exists in this sandbox, so the same job runs at
+two local parallelism levels (local[4] vs local[16] on the same 32-core host,
+same input, cold session each, warm-up slice excluded from timing).
+
+## KG triple-extraction job ({n_docs:,} interleaved docs)
+
+| level | cores | wall sec | docs/sec | triples |
+|---|---|---|---|---|
+| N      | 4  | {lo['sec']} | {lo['docs_per_sec']} | {lo['triples']} |
+| 4N     | 16 | {hi['sec']} | {hi['docs_per_sec']} | {hi['triples']} |
+
+- speedup 4→16 cores: **{speedup:.2f}×** (ideal 4×)
+- scaling efficiency: **{efficiency}** (target ≥ 0.8) → {"PASS" if efficiency >= 0.8 else "FAIL"}
+- reference floor: ≈167 rows/s full pipeline (docs/CASE_STUDY.md:189-191);
+  this engine does {hi['docs_per_sec']:,.0f} docs/sec at 16 cores —
+  {hi['docs_per_sec'] / 167:,.0f}× the reference.
+
+Why it scales: generation and extraction are embarrassingly parallel
+(stateless per doc, Arrow-batched pandas UDF); the only shuffle is the final
+distinct on (doc_id, subj, pred, obj); all dictionary joins broadcast.
+Deviation from ideal is Amdahl overhead of the fixed-size broadcast/plan setup
+plus Python-worker pool fan-out, both of which amortize further at larger
+inputs — per-doc work is constant, so the 10^12-doc design point is linear
+scale-out over partitions.
+
+Regenerate: `python BENCH/run_scaling.py`.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

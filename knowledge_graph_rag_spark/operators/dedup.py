@@ -1,0 +1,235 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup strategies over a generic (id, text) frame — the large-scale
+data-pipeline layer the task brief requires alongside the reference parity
+(exact dedup is also the reference's A4/U3 semantics):
+
+- exact:       content-hash groupBy (one shuffle on the 32-hex key)
+- minhash_lsh: shingle → MinHashLSH banding → bucket join (Spark ML, JVM)
+- simhash:     64-bit simhash via vectorized pandas UDF → band join on
+               16-bit sub-keys → Hamming-distance verify (native bit ops)
+- ngram_jaccard: exact shingle-join Jaccard (the verifier for the approx paths)
+- embedding_cosine: near-dup via feature-hash embedding + blocked cosine join
+
+All return pair/cluster frames keyed by the caller's id column; canonical
+representative election composes with operators.canonicalize.connected_components.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .link import cosine_sim_col, embed_surfaces
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
+    """Groups of ids sharing identical content (md5). Returns
+    (content_hash, n_dups, ids sorted array) for groups with n > 1."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list("id")).alias("ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id row per identical content — first-seen-wins semantics
+    (reference A4) as min_by, single shuffle."""
+    h = F.md5(F.col(text_col))
+    keep = (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .drop("_h")
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct word n-grams — native transform/slice, no UDF."""
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != F.lit(""))
+    grams = F.transform(
+        F.slice(w, 1, F.greatest(F.size(w) - (n - 1), F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", *([x] + [F.get(w, i + k) for k in range(1, n)])
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+        .filter(F.size("grams") > 0)
+        .select("id", F.explode("grams").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "id", text_col: str = "text",
+    n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Exact pairwise Jaccard over word n-gram shingle sets via shingle join.
+    O(sum of shingle-bucket sizes²) — the exact verifier; use minhash_lsh_pairs
+    to pre-filter candidates at scale."""
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("isect"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("isect") / (F.col("sz_a") + F.col("sz_b") - F.col("isect"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "id", text_col: str = "text",
+    jaccard_max_dist: float = 0.3, num_hash_tables: int = 12,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs over word-3-gram shingles (Spark ML
+    approxSimilarityJoin — banding + bucket join, all JVM)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    sh = word_shingles(df, id_col, text_col, 3).groupBy("id").agg(
+        F.collect_list("shingle").alias("shingles")
+    )
+    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
+    model = cv.fit(sh)
+    feats = model.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    ).fit(feats)
+    joined = lsh.approxSimilarityJoin(feats, feats, jaccard_max_dist, "dist")
+    return joined.filter(F.col("datasetA.id") < F.col("datasetB.id")).select(
+        F.col("datasetA.id").alias("id_a"),
+        F.col("datasetB.id").alias("id_b"),
+        F.round(F.lit(1.0) - F.col("dist"), 4).alias("est_jaccard"),
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens — vectorized per Arrow batch; token
+    hashes via a fixed FNV-1a (no Python ``hash()``: seed-independent)."""
+
+    def fnv1a(tok: str) -> int:
+        h = 0xCBF29CE484222325
+        for ch in tok.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def sim(text: str | None) -> int:
+        if not text:
+            return 0
+        acc = np.zeros(_SIMHASH_BITS, dtype=np.int64)
+        for tok in text.lower().split():
+            h = fnv1a(tok)
+            for b in range(_SIMHASH_BITS):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        out = 0
+        for b in range(_SIMHASH_BITS):
+            if acc[b] > 0:
+                out |= 1 << b
+        # represent as signed 64-bit for LongType
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    return texts.map(sim)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "id", text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Scale path: band the 64-bit hash into four 16-bit keys — any pair within
+    Hamming 3 shares at least one identical band (pigeonhole), so candidate
+    generation is 4 equi-joins, then a native bit_count verify. No O(n²)."""
+    hashed = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    ).cache()
+    bands = hashed.select(
+        "id", "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.filter(hamming <= max_hamming).select(
+        "id_a", "id_b", hamming.alias("hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str = "id", text_col: str = "text",
+    threshold: float = 0.92,
+) -> DataFrame:
+    """Embedding near-dup: feature-hash embedding + SimHash-banded blocking
+    (reuses the simhash bands as the coarse blocker), cosine verify."""
+    emb = df.select(
+        F.col(id_col).alias("id"),
+        embed_surfaces(F.col(text_col)).alias("emb"),
+        simhash64(F.col(text_col)).alias("sh"),
+    )
+    bands = emb.select(
+        "id", "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, "key")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.emb").alias("emb_a"), F.col("b.emb").alias("emb_b"),
+        )
+        .distinct()
+    )
+    cos = cosine_sim_col(F.col("emb_a"), F.col("emb_b"))
+    return cand.filter(cos >= threshold).select(
+        "id_a", "id_b", F.round(cos, 4).alias("cosine")
+    )

@@ -60,6 +60,11 @@ def _sentence_regex() -> re.Pattern:
     return re.compile(SENTENCE_SPLIT_REGEX)
 
 
+@lru_cache(maxsize=1)
+def _rel_map() -> dict[str, str]:
+    return G.relation_surface_map()
+
+
 def _extract_from_text(text: str) -> tuple[list[tuple[str, int]], list[tuple[str, str, str, int]]]:
     """(mentions, raw_triples) for one text blob.
 
@@ -72,7 +77,7 @@ def _extract_from_text(text: str) -> tuple[list[tuple[str, int]], list[tuple[str
     triples: list[tuple[str, str, str, int]] = []
     if not text:
         return mentions, triples
-    rel_map = G.relation_surface_map()
+    rel_map = _rel_map()
     m_re, r_re = _mention_regex(), _relation_regex()
     for sent_idx, sent in enumerate(_sentence_regex().split(text)):
         ms = list(m_re.finditer(sent))

@@ -1,0 +1,149 @@
+"""Multimodal span handling: media as opaque binary + typed metadata.
+
+The interleaved documents carry media spans (kind ∈ {image, audio, table},
+media_ref URI). Per the task brief, image/audio decode libraries are not in
+this container, so the *decode* step is stubbed behind a deterministic fake —
+but the Spark-side plumbing (schema, partitioning, Arrow batch shape,
+mapInPandas signature) is real and tested:
+
+- :func:`media_catalog` — media spans → (doc_id, span_order, kind, media_ref,
+  fetch-partition key) with deterministic bucketing so co-located fetches
+  batch per storage prefix.
+- :func:`decode_media` — mapInPandas over the catalog: resolves each
+  media_ref to bytes + typed metadata. The real implementation would fetch
+  and decode (PIL/librosa/pyav); here ``_fake_fetch`` synthesizes
+  deterministic bytes so shape/partition logic is exercised end-to-end.
+- :func:`media_features` — Pandas-UDF feature extraction (byte histogram as
+  the stand-in for an image/audio encoder), returning fixed-dim float arrays
+  that flow into the same similarity/linking operators as text embeddings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("span_order", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("decode_status", T.StringType(), False),
+    ]
+)
+
+FEATURE_DIM = 32
+
+
+def media_catalog(spans: DataFrame, fetch_buckets: int = 64) -> DataFrame:
+    """Media spans with a deterministic fetch-bucket key. Repartitioning by
+    the bucket groups refs with a shared storage prefix into the same task —
+    at object-store scale this is what turns 10^9 GETs into batched range
+    reads per prefix."""
+    media = spans.filter(F.col("kind") != "text").select(
+        "doc_id", "span_order", "kind", "media_ref"
+    )
+    bucket = F.pmod(F.hash(F.regexp_extract("media_ref", r"^(m://[^/]+)", 1)),
+                    F.lit(fetch_buckets))
+    return media.withColumn("fetch_bucket", bucket)
+
+
+def _fake_fetch(media_ref: str, kind: str) -> bytes:
+    """Deterministic stand-in for the object-store fetch + container parse.
+    Real implementation: fsspec/boto3 ranged GET → format sniff → decode.
+    NOT IMPLEMENTED in this container (no image/audio libs) — synthesizes
+    content bytes from the ref hash so downstream shape logic is real."""
+    h = hashlib.sha256(media_ref.encode()).digest()
+    size = 256 + h[0] * 16
+    return (h * ((size // len(h)) + 1))[:size]
+
+
+def decode_media(catalog: DataFrame) -> DataFrame:
+    """mapInPandas: fetch + decode each media span → MEDIA_SCHEMA rows.
+
+    The decode branch per kind is the integration point for real codecs;
+    each raises into ``decode_status`` rather than failing the task, so one
+    corrupt object never kills a 10^12-row job (poison-pill isolation).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    content = _fake_fetch(row.media_ref, row.kind)
+                    h = hashlib.sha256(content).digest()
+                    meta = {"width": None, "height": None, "duration_ms": None}
+                    if row.kind == "image":
+                        # real: PIL.Image.open(io.BytesIO(content)).size
+                        meta["width"] = 64 + h[1] * 4
+                        meta["height"] = 64 + h[2] * 4
+                    elif row.kind == "audio":
+                        # real: soundfile/librosa duration
+                        meta["duration_ms"] = 500 + int.from_bytes(h[3:5], "big")
+                    out.append(
+                        {
+                            "doc_id": row.doc_id,
+                            "span_order": row.span_order,
+                            "kind": row.kind,
+                            "media_ref": row.media_ref,
+                            "content": content,
+                            "n_bytes": len(content),
+                            **meta,
+                            "decode_status": "ok_stub",
+                        }
+                    )
+                except Exception as ex:  # noqa: BLE001 — poison-pill isolation
+                    out.append(
+                        {
+                            "doc_id": row.doc_id,
+                            "span_order": row.span_order,
+                            "kind": row.kind,
+                            "media_ref": row.media_ref,
+                            "content": None,
+                            "n_bytes": None,
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                            "decode_status": f"error:{type(ex).__name__}",
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return catalog.repartition("fetch_bucket").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def media_feature_udf(content: pd.Series) -> pd.Series:
+    """Fixed-dim feature vector per media blob — byte histogram, L1-normalized
+    (the stand-in for a real image/audio encoder; same output contract)."""
+
+    def feat(b: bytes | None) -> list[float]:
+        if not b:
+            return [0.0] * FEATURE_DIM
+        arr = np.frombuffer(b, dtype=np.uint8)
+        hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+        total = hist.sum()
+        return (hist / total if total else hist).astype(np.float32).tolist()
+
+    return content.map(feat)
+
+
+def media_features(decoded: DataFrame) -> DataFrame:
+    """(doc_id, span_order, kind, embedding) — flows into similarity ops."""
+    return decoded.filter(F.col("decode_status").startswith("ok")).select(
+        "doc_id", "span_order", "kind",
+        media_feature_udf(F.col("content")).alias("embedding"),
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths per the task brief:
+
+- :func:`brute_force_topk` — exact cosine top-k: broadcast the (small) query
+  set against the candidate table, JVM-side zip_with/aggregate dot products,
+  per-query rank window. Baseline + verifier.
+- :func:`lsh_topk` — random-hyperplane (sign-LSH) bucketed ANN: candidates
+  restricted to vectors sharing a hash bucket in ≥1 of ``num_tables`` tables.
+  At 100 TB the bucket join replaces the cross product; the per-bucket
+  verify is the same exact cosine.
+
+Hyperplanes are seeded and generated driver-side (dim × bits doubles — tiny),
+shipped in the plan as array literals: no UDF, no model object.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .link import cosine_sim_col
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cosine(a, b):
+    dot = cosine_sim_col(a, b)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) exact top-k; queries broadcast."""
+    cand = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("e")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qe")
+    )
+    pairs = F.broadcast(qs).join(cand, F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "cosine", F.round(_cosine(F.col("qe"), F.col("e")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, table: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed + table * 1000)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def _bucket_col(vec, planes: list[list[float]]):
+    """Sign-pattern bucket id for one table: bit b = sign(vec · plane_b)."""
+    bits = []
+    for b, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for c in bits[1:]:
+        out = out + c
+    return out
+
+
+def lsh_buckets(
+    vectors: DataFrame,
+    dim: int,
+    bits: int = 8,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, table, bucket) — one row per (vector, table)."""
+    v = vectors.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+    per_table = [
+        v.select(
+            "id", "e",
+            F.lit(t).alias("table"),
+            _bucket_col(F.col("e"), _hyperplanes(dim, bits, t, seed)).alias("bucket"),
+        )
+        for t in range(num_tables)
+    ]
+    out = per_table[0]
+    for p in per_table[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: bucket-join candidate generation + exact cosine verify.
+    Recall < 1 by construction; raise num_tables / lower bits for more."""
+    vb = lsh_buckets(vectors, dim, bits, num_tables, id_col, vec_col)
+    qb = lsh_buckets(queries, dim, bits, num_tables, id_col, vec_col).select(
+        F.col("id").alias("query_id"),
+        F.col("e").alias("qe"),
+        "table",
+        "bucket",
+    )
+    cand = (
+        qb.join(vb, ["table", "bucket"])
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "qe", F.col("id").alias("neighbor_id"), "e")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine", F.round(_cosine(F.col("qe"), F.col("e")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

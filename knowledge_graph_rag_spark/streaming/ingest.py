@@ -1,0 +1,66 @@
+"""Structured-Streaming ingest (optional capability, beyond the reference).
+
+The reference is explicitly batch-only ("Real-time streaming: batch
+processing only", README.md:232; SURVEY.md §2.10 — no watermarks/session
+windows required). This module exists because the directory-watcher ingest
+loop (S9, ``auto_processor.py:828-887``) maps naturally onto a file-source
+stream, giving the same at-least-once, ledger-backed semantics with
+checkpointing handled by Spark instead of a hand-rolled ``.processed_files``:
+
+- :func:`stream_logs` — file-source stream of JSON log batches → the same
+  parse/score plan as batch (plans are shared: parse_logs/score_connections
+  are pure DataFrame transforms, batch/stream agnostic).
+- :func:`stream_to_graph_sink` — foreachBatch writer that upserts each
+  micro-batch through GraphStore.store_graph_merge, i.e. the S11 MERGE.
+
+``trigger(availableNow=True)`` turns it back into the reference's startup
+scan: process everything pending, then stop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.graph_build import telemetry_edges, telemetry_nodes
+from ..operators.network import parse_logs, score_connections
+from ..schemas import NETWORK_LOG_SCHEMA
+from ..sources.graph_store import GraphStore
+
+
+def stream_logs(spark: SparkSession, input_dir: str) -> DataFrame:
+    """readStream over a drop directory of JSON log files → scored
+    connections (same transforms as the batch path)."""
+    raw = (
+        spark.readStream.schema(NETWORK_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(input_dir)
+    )
+    return score_connections(parse_logs(raw))
+
+
+def stream_to_graph_sink(
+    scored: DataFrame,
+    store: GraphStore,
+    graph_id: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """foreachBatch MERGE into the partitioned graph tables. Exactly-once per
+    micro-batch via the streaming checkpoint + idempotent snapshot commit."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        nodes = telemetry_nodes(batch_df, graph_id)
+        edges = telemetry_edges(batch_df, graph_id)
+        store.store_graph_merge(nodes, edges, graph_id)
+        store.mark_done("stream_batch", f"{graph_id}:{batch_id}")
+
+    writer = (
+        scored.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -148,7 +148,7 @@ def documents_df(spark, n_docs: int):
         for pdf in batches:
             yield pd.DataFrame([gen_doc(int(i)) for i in pdf["id"]])
 
-    n_parts = max(1, min(64, n_docs // 256 or 1))
+    n_parts = max(1, min(512, n_docs // 256 or 1))
     return (
         spark.range(0, n_docs, numPartitions=n_parts)
         .mapInPandas(render, schema=DOCUMENTS_INTERLEAVED_SCHEMA)

@@ -1,0 +1,151 @@
+"""Dedup family, ANN similarity, multimodal plumbing, skew helpers, paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_rag_spark.operators import dedup as DD
+from knowledge_graph_rag_spark.operators import multimodal as MM
+from knowledge_graph_rag_spark.operators import similarity as SIM
+from knowledge_graph_rag_spark.operators import skew as SK
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the green bank"),  # near dup
+        (4, "completely different content about spark dataframes and shuffles"),
+        (5, "spark dataframes and shuffles are described in different content here"),
+        (6, "short text"),
+    ]
+    return spark.createDataFrame(rows, "id int, text string")
+
+
+def test_exact_dedup(corpus):
+    groups = DD.exact_duplicates(corpus).collect()
+    assert len(groups) == 1 and groups[0].ids == [1, 2]
+    kept = {r.id for r in DD.dedup_exact(corpus).collect()}
+    assert kept == {1, 3, 4, 5, 6}
+
+
+def test_ngram_jaccard(corpus):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in DD.ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh(corpus):
+    pairs = {(r.id_a, r.id_b) for r in DD.minhash_lsh_pairs(corpus, jaccard_max_dist=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_simhash(corpus):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in DD.simhash_pairs(corpus, max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # one word swapped → small hamming
+    assert (1, 4) not in pairs
+
+
+def test_embedding_cosine_pairs(corpus):
+    pairs = {(r.id_a, r.id_b) for r in DD.embedding_cosine_pairs(corpus, threshold=0.9).collect()}
+    assert (1, 2) in pairs
+
+
+def test_brute_force_topk(spark, corpus):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = SIM.brute_force_topk(emb, queries, k=5)
+    rows = topk.collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert -1.0001 <= r.cosine <= 1.0001 and r.neighbor_id != r.query_id
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, queries, k=3).collect()
+    approx = SIM.lsh_topk(emb, queries, dim=64, k=3, bits=6, num_tables=6).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall  # candidate generation must find most true neighbors
+
+
+def test_media_pipeline(spark):
+    from knowledge_graph_rag_spark import synth
+    from knowledge_graph_rag_spark.operators.extract import explode_spans
+
+    spans = explode_spans(synth.documents_df(spark, 60))
+    catalog = MM.media_catalog(spans)
+    n_media = catalog.count()
+    assert n_media > 0
+    decoded = MM.decode_media(catalog).cache()
+    assert decoded.count() == n_media
+    assert decoded.filter(F.col("decode_status") != "ok_stub").count() == 0
+    imgs = decoded.filter(F.col("kind") == "image")
+    assert imgs.filter(F.col("width").isNull() | F.col("height").isNull()).count() == 0
+    feats = MM.media_features(decoded).collect()
+    assert all(len(r.embedding) == MM.FEATURE_DIM for r in feats)
+    # determinism: same ref → same bytes
+    one = decoded.orderBy("media_ref").first()
+    again = MM.decode_media(catalog).filter(F.col("media_ref") == one.media_ref).first()
+    assert bytes(one.content) == bytes(again.content)
+
+
+def test_salted_collect_set_equivalence(spark):
+    df = spark.createDataFrame(
+        [(i % 3, i % 7) for i in range(500)], "k int, v int"
+    )
+    plain = {
+        r.k: sorted(r.s)
+        for r in df.groupBy("k").agg(F.collect_set("v").alias("s")).collect()
+    }
+    salted = {
+        r.k: sorted(r.s)
+        for r in SK.salted_collect_set(
+            df, ["k"], "v", "s", buckets=8,
+            extra_aggs={"cnt": F.count("*")},
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_count_distinct_equivalence(spark):
+    df = spark.createDataFrame([(i % 3, i % 11) for i in range(400)], "k int, v int")
+    plain = {
+        r.k: r.d
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("d")).collect()
+    }
+    salted = {
+        r.k: r.d for r in SK.salted_count_distinct(df, ["k"], "v", "d").collect()
+    }
+    assert plain == salted
+
+
+def test_two_hop_paths(spark):
+    from knowledge_graph_rag_spark.operators.detectors import two_hop_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b", "R"), ("b", "c", "R"), ("a", "c", "S"), ("x", "y", "R")],
+        "src string, dst string, rel_type string",
+    )
+    paths = two_hop_paths(edges, "a", "c").collect()
+    hops = sorted(p.hops for p in paths)
+    assert hops[0] == 1  # direct a→c
+    assert any(p.hops == 2 and p.path == ["a", "b", "c"] for p in paths)
+
+
+def test_k_hop_reach(spark):
+    from knowledge_graph_rag_spark.operators.detectors import k_hop_reach
+
+    edges = spark.createDataFrame(
+        [("a", "b", "LEADS_TO"), ("b", "c", "LEADS_TO"), ("c", "d", "LEADS_TO")],
+        "src string, dst string, rel_type string",
+    )
+    targets = spark.createDataFrame([("d",)], "node_id string")
+    reach = {r.origin: r.hops for r in k_hop_reach(edges, "LEADS_TO", targets).collect()}
+    assert reach == {"c": 1, "b": 2, "a": 3}

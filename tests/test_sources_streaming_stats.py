@@ -1,0 +1,164 @@
+"""CSV readers (format sniff + converters), streaming ingest, stats rollups."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_rag_spark.sources import csv_readers as CR
+
+
+@pytest.fixture()
+def unsw_headerless(tmp_path):
+    # 49-column headerless rows, first col an IP (auto_processor.py:68-71)
+    rows = []
+    for i in range(6):
+        row = [f"10.0.0.{i+1}", "1024", "192.168.1.5", "80", "tcp", "FIN", "1.5",
+               "5000", "2000"] + ["0"] * 38 + ["Exploits" if i % 2 else "", "1" if i % 2 else "0"]
+        rows.append(",".join(row))
+    p = tmp_path / "unsw.csv"
+    p.write_text("\n".join(rows))
+    return str(p)
+
+
+def test_detect_formats(tmp_path, unsw_headerless):
+    fmt, cols = CR.detect_dataset_format(unsw_headerless)
+    assert fmt == "unsw_nb15" and cols == CR.UNSW_NB15_COLUMNS
+
+    pre = tmp_path / "pre.csv"
+    pre.write_text("id,dur,sbytes,dbytes,proto,service,attack_cat,label\n"
+                   "1,0.5,100,200,tcp,http,Normal,0\n")
+    assert CR.detect_dataset_format(str(pre))[0] == "unsw_nb15_preprocessed"
+
+    gen = tmp_path / "gen.csv"
+    gen.write_text("src_ip,dst_ip,dport,proto\n1.2.3.4,5.6.7.8,443,tcp\n")
+    assert CR.detect_dataset_format(str(gen))[0] == "unknown"
+
+    cic = tmp_path / "cic.csv"
+    cic.write_text("Destination Port,Flow Duration,Label\n80,100,BENIGN\n")
+    assert CR.detect_dataset_format(str(cic))[0] == "cicids2017"
+
+
+def test_read_unsw_headerless(spark, unsw_headerless):
+    df = CR.read_unsw_nb15(spark, unsw_headerless).orderBy("timestamp")
+    rows = df.collect()
+    assert len(rows) == 6
+    assert rows[0].source_ip == "10.0.0.1" and rows[0].dest_port == 80
+    assert rows[0].protocol == "TCP" and rows[0].bytes_sent == 5000
+    assert rows[1].action == "deny" and rows[1].attack_type == "Exploits"
+    assert rows[0].action == "allow" and rows[0].attack_type is None
+    # deterministic fixed-epoch timestamps, +1s per row
+    assert str(rows[0].timestamp).startswith("2026-01-01 00:00:00")
+    assert str(rows[1].timestamp).startswith("2026-01-01 00:00:01")
+
+
+def test_read_preprocessed_synthetic_ips(spark, tmp_path):
+    p = tmp_path / "pre.csv"
+    lines = ["id,dur,sbytes,dbytes,proto,service,attack_cat,label"]
+    for i in range(10):
+        lines.append(f"{i},0.1,10,20,tcp,http,{'Exploits' if i % 5 == 0 else 'Normal'},{1 if i % 5 == 0 else 0}")
+    p.write_text("\n".join(lines))
+    df = CR.read_unsw_preprocessed(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 10
+    # id_to_ip determinism (auto_processor.py:312-326): even ids → 192.168.x.x
+    by_port = {r.source_port: r for r in rows}
+    r0 = by_port[1024]  # id 0
+    assert r0.source_ip == "192.168.0.0" and r0.dest_port == 80
+    r1 = by_port[1025]  # id 1 odd → 10.x
+    assert r1.source_ip.startswith("10.")
+    # id 0 % 5 == 0 → external dest
+    assert r0.dest_ip.split(".")[0] == "59"
+
+
+def test_read_generic_aliases(spark, tmp_path):
+    p = tmp_path / "gen.csv"
+    p.write_text(
+        "src_ip,destination_ip,dport,proto,bytes\n"
+        "1.2.3.4,5.6.7.8,443,udp,1000\n"
+        ",9.9.9.9,80,tcp,5\n"  # missing src → dropped
+    )
+    rows = CR.read_generic(spark, str(p)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_ip, r.dest_ip, r.dest_port, r.protocol, r.bytes_sent) == (
+        "1.2.3.4", "5.6.7.8", 443, "UDP", 1000,
+    )
+
+
+def test_streaming_ingest(spark, tmp_path):
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+    from knowledge_graph_rag_spark.streaming.ingest import (
+        stream_logs,
+        stream_to_graph_sink,
+    )
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    logs = [
+        {"timestamp": "2026-01-01T00:00:00", "source_ip": "10.0.0.1",
+         "dest_ip": "8.8.8.8", "source_port": 1024, "dest_port": 443,
+         "protocol": "tcp", "bytes_sent": 100, "bytes_received": 10,
+         "duration": 0.1, "action": "allow", "user": None, "attack_type": None},
+        {"timestamp": "2026-01-01T00:00:01", "source_ip": "10.0.0.2",
+         "dest_ip": "10.0.0.3", "source_port": 1025, "dest_port": 4444,
+         "protocol": "tcp", "bytes_sent": 50, "bytes_received": 5,
+         "duration": 0.2, "action": "allow", "user": None, "attack_type": "DoS"},
+    ]
+    (in_dir / "batch1.json").write_text("\n".join(json.dumps(x) for x in logs))
+
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    scored = stream_logs(spark, str(in_dir))
+    q = stream_to_graph_sink(scored, store, "g_stream", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    nodes, edges = store.get_graph("g_stream")
+    ids = {r.node_id for r in nodes.collect()}
+    assert {"ip_10_0_0_1", "ip_8_8_8_8", "port_4444", "attack_dos"} <= ids
+    assert edges.filter(F.col("rel_type") == "CONNECTED_TO").count() == 2
+    assert any(k.startswith("stream_batch::g_stream") for k in store.completed_stages())
+
+
+def test_stats_and_quality(spark):
+    from knowledge_graph_rag_spark import synth
+    from knowledge_graph_rag_spark.operators import graph_build as GB
+    from knowledge_graph_rag_spark.operators import network as N
+    from knowledge_graph_rag_spark.operators import stats as ST
+
+    conns = N.score_connections(N.parse_logs(synth.network_logs_df(spark, 300)))
+    nodes = GB.telemetry_nodes(conns, "g").cache()
+    edges = GB.telemetry_edges(conns, "g").cache()
+
+    s = ST.graph_stats(nodes, edges).collect()[0]
+    assert s.total_nodes == nodes.count() and s.total_edges == edges.count()
+    assert s.internal_ips + s.external_ips == s.ip_nodes
+    assert s.attacker_ips > 0
+
+    svc = ST.service_distribution(nodes).collect()
+    assert svc and svc[0]["count"] >= svc[-1]["count"]
+
+    att = {r.attack_type for r in ST.attack_distribution(nodes).collect()}
+    assert "DoS" in att or "Exploits" in att
+
+    dq = ST.data_quality(nodes, edges).collect()[0]
+    assert dq.invalid_labels == 0 and dq.dangling_edges == 0
+    # every port in this graph has a USES_PORT edge by construction
+    assert dq.orphaned_ports == 0
+
+
+def test_chunk_text_parity():
+    """P9 chunking semantics vs the reference algorithm shape: coverage with
+    overlap, boundary-aware breaks (graph_extractor.py:583-619)."""
+    from knowledge_graph_rag_spark.functions.text import chunk_text
+
+    text = " ".join(f"sentence number {i} ends here." for i in range(400))
+    chunks = chunk_text(text, chunk_size=500, overlap=50)
+    assert all(len(c) <= 500 for c in chunks)
+    # full coverage: every chunk's start must appear in the original
+    joined = "".join(chunks)
+    assert len(joined) >= len(text)  # overlap duplicates content
+    assert chunks[0].startswith("sentence number 0")
+    assert text.rstrip(".").split()[-2] in chunks[-1]
+    short = chunk_text("tiny", 500, 50)
+    assert short == ["tiny"]
