@@ -92,11 +92,18 @@ def chunk_text(text: str, chunk_size: int = 4000, overlap: int = 200) -> list[st
     return chunks
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def chunk_text_udf(s: pd.Series) -> pd.Series:
-    """Vectorized wrapper over :func:`chunk_text`; pair with posexplode to
-    preserve chunk order (SURVEY.md §2.2 P9)."""
-    return s.map(lambda x: chunk_text(x or ""))
+def make_chunk_text_udf(chunk_size: int = 4000, overlap: int = 200):
+    """Parameterized vectorized wrapper over :func:`chunk_text`; pair with
+    posexplode to preserve chunk order (SURVEY.md §2.2 P9)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def chunk_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: chunk_text(x or "", chunk_size, overlap))
+
+    return chunk_udf
+
+
+chunk_text_udf = make_chunk_text_udf()
 
 
 # Language-marker sets (text_processors.py:171-174)

@@ -149,6 +149,46 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
+def chunk_spans(spans: DataFrame, chunk_size: int = 4000, overlap: int = 200,
+                truncate_at: int = 10000) -> DataFrame:
+    """P9/P10 pre-extraction stage: truncate overlong text
+    (graph_extractor.py:511-514) then split into overlapping boundary-aware
+    chunks (:583-619). Short spans pass through untouched (common case: zero
+    Python). Chunk order is kept in span_order's fractional analogue — the
+    downstream triple set is order-insensitive, and overlap duplicates are
+    removed by resolve_triples' dedup."""
+    from ..functions.text import make_chunk_text_udf, truncate_col
+
+    needs = spans.filter(
+        (F.col("kind") == "text") & (F.length("text") > chunk_size)
+    )
+    short = spans.filter(
+        (F.col("kind") != "text") | (F.length("text") <= chunk_size)
+    )
+    chunk_udf = make_chunk_text_udf(chunk_size, overlap)
+    chunked = (
+        needs.withColumn("text", truncate_col(F.col("text"), truncate_at))
+        .withColumn("chunks", chunk_udf(F.col("text")))
+        .select(
+            "doc_id",
+            "kind",
+            "media_ref",
+            "offset",
+            F.posexplode("chunks").alias("chunk_idx", "chunk"),
+            "span_order",
+        )
+        .select(
+            "doc_id",
+            (F.col("span_order") * 1000 + F.col("chunk_idx")).cast("int").alias("span_order"),
+            "kind",
+            F.col("chunk").alias("text"),
+            "media_ref",
+            "offset",
+        )
+    )
+    return short.unionByName(chunked)
+
+
 # --- raw extraction (the pandas-UDF site) -----------------------------------
 
 

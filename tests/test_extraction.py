@@ -89,3 +89,36 @@ def test_canonical_predicate_rewrite(extracted):
     assert "EMPLOYED_BY" in preds
     assert "FOUNDER_OF" in preds
     assert "USES_TECHNOLOGY" in preds
+
+
+def test_chunked_extraction_equivalence(spark):
+    """P9: chunking long spans (with overlap) then extracting yields the same
+    triple set as extracting the whole text — boundary sentences are covered
+    by the overlap and duplicates fold in resolve's dedup."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_rag_spark.operators.extract import chunk_spans, explode_spans
+    from knowledge_graph_rag_spark.schemas import DOCUMENTS_INTERLEAVED_SCHEMA
+
+    # one long doc: 120 short sentences (~40 chars each → ~4800 chars)
+    sents = []
+    for i in range(60):
+        sents.append("Alice Johnson works for Acme Corp.")
+        sents.append("Acme Corp is based in Springfield.")
+    text = " ".join(sents)
+    doc = [{"doc_id": "dlong", "spans": [
+        {"kind": "text", "text": text, "media_ref": "", "offset": 0}]}]
+    docs_df = spark.createDataFrame(doc, schema=DOCUMENTS_INTERLEAVED_SCHEMA)
+
+    spans = explode_spans(docs_df)
+    plain = X.resolve_triples(spark, X.extract_raw(spans))
+    chunked = X.resolve_triples(
+        spark, X.extract_raw(chunk_spans(spans, chunk_size=500, overlap=100))
+    )
+    key = lambda df: {  # noqa: E731
+        (r.doc_id, r.subj, r.pred, r.obj) for r in df.collect()
+    }
+    assert key(chunked) == key(plain) != set()
+    # chunking actually happened
+    n_chunks = chunk_spans(spans, chunk_size=500, overlap=100).count()
+    assert n_chunks > 5
