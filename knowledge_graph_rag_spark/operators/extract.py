@@ -340,6 +340,37 @@ def edge_class_col(pred: F.Column) -> F.Column:
     )
 
 
+def mention_doc_sets(spark: SparkSession, raw: DataFrame,
+                     salted: bool = True, buckets: int = 16) -> DataFrame:
+    """Per-entity distinct-doc sets + mention counts — the aggregation the
+    Zipf hub entities skew hardest (one Organization/ExternalIP appears in a
+    large share of docs, FIXTURES.md F1). ``salted=True`` takes the two-phase
+    path (operators/skew.salted_collect_set): hub keys fan over ``buckets``
+    reducers before the distinct sets meet; results are identical."""
+    from .skew import salted_collect_set
+
+    aliases = F.broadcast(alias_df(spark))
+    mentions = (
+        raw.select("doc_id", F.explode("mentions").alias("m"))
+        .select("doc_id", F.col("m.surface").alias("surface"))
+        .join(aliases, "surface", "inner")
+        .select("doc_id", "label", "type")
+    )
+    if salted:
+        out = salted_collect_set(
+            mentions, ["label", "type"], "doc_id", "doc_set",
+            buckets=buckets, extra_aggs={"n_mentions": F.count("*")},
+        )
+    else:
+        out = mentions.groupBy("label", "type").agg(
+            F.collect_set("doc_id").alias("doc_set"),
+            F.count("*").alias("n_mentions"),
+        )
+    return out.select(
+        "label", "type", F.size("doc_set").alias("n_docs"), "n_mentions"
+    )
+
+
 def extract_triples(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """T6 orchestration: documents → canonical triples."""
     return resolve_triples(spark, extract_raw(explode_spans(docs)))

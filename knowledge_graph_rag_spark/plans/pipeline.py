@@ -152,3 +152,54 @@ def run(
         "edges": edges.count(),
     }
     return res
+
+
+def run_full(
+    spark: SparkSession,
+    docs: DataFrame,
+    logs: DataFrame,
+    store: GraphStore,
+    run_id: str = "run0",
+    semantic_graph_id: str = "kg_semantic",
+    telemetry_graph_id: str = "kg_telemetry",
+    merged_graph_id: str = "kg_merged",
+) -> PipelineResult:
+    """The reference's full upload-csv + merge lifecycle (SURVEY.md §3.1 +
+    graph_merger): semantic KG from documents, telemetry KG from network
+    logs, cross-source MERGE with provenance, all checkpointed/resumable.
+
+    Returns the semantic PipelineResult augmented with merge stats in
+    ``counts`` (A20)."""
+    from ..operators import network as N
+
+    res = run(spark, docs, store, graph_id=semantic_graph_id, run_id=run_id,
+              enable_lsh_canonicalization=False)
+
+    if not store.is_done("telemetry", telemetry_graph_id):
+        conns = N.score_connections(N.parse_logs(logs))
+        t_nodes = GB.telemetry_nodes(conns, telemetry_graph_id)
+        t_edges = GB.telemetry_edges(conns, telemetry_graph_id)
+        store.store_graph(t_nodes, t_edges)
+        store.mark_done("telemetry", telemetry_graph_id, run_id=run_id)
+        res.stages_run.append("telemetry")
+    else:
+        res.stages_skipped.append("telemetry")
+
+    if not store.is_done("merge", merged_graph_id):
+        nodes = store.read("nodes")
+        edges = store.read("edges")
+        sn = nodes.filter(F.col("graph_id") == semantic_graph_id)
+        se = edges.filter(F.col("graph_id") == semantic_graph_id)
+        tn = nodes.filter(F.col("graph_id") == telemetry_graph_id)
+        te = edges.filter(F.col("graph_id") == telemetry_graph_id)
+        mn, me, stats = GB.merge_graphs(sn, se, tn, te, merged_graph_id)
+        store.store_graph(mn, me)
+        store.write_snapshot("merge_stats", stats, partition_by=())
+        store.mark_done("merge", merged_graph_id, run_id=run_id)
+        res.stages_run.append("merge")
+    else:
+        res.stages_skipped.append("merge")
+
+    for r in store.read("merge_stats").collect():
+        res.counts[f"merge_{r.stat}"] = r.value
+    return res

@@ -134,3 +134,23 @@ def test_lineage_metrics_written(spark, store):
 
     t = totals(m).collect()
     assert all(r.value >= 0 and r.partitions >= 1 for r in t)
+
+
+def test_run_full_merged_pipeline(spark, store):
+    from knowledge_graph_rag_spark.operators.graph_build import find_correlations
+    from knowledge_graph_rag_spark.plans.pipeline import run_full
+
+    docs = synth.documents_df(spark, 40)
+    logs = synth.network_logs_df(spark, 150)
+    res = run_full(spark, docs, logs, store, run_id="rf")
+    assert {"telemetry", "merge"} <= set(res.stages_run)
+    assert res.counts["merge_new_correlations"] > 0
+    assert sorted(store.list_graphs()) == ["kg_merged", "kg_semantic", "kg_telemetry"]
+
+    merged_nodes, _ = store.get_graph("kg_merged", node_limit=100000)
+    corr = find_correlations(merged_nodes).collect()
+    assert corr and all(len(r.sources) > 1 for r in corr)
+
+    # resume: everything skipped
+    res2 = run_full(spark, docs, logs, store, run_id="rf2")
+    assert not res2.stages_run
