@@ -406,6 +406,68 @@ def users_without_big_purchase(spark, sf_dir):
     return events.select("user_id").distinct().join(big, "user_id", "left_anti")
 
 
+@q(
+    "user_type_intersect",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def user_type_intersect(spark, sf_dir):
+    """Set op INTERSECT (beyond-reference §2.8 coverage)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .intersect(e.filter(F.col("event_type") == "error").select("user_id"))
+    )
+
+
+@q(
+    "high_value_except",
+    """
+    SELECT DISTINCT user_id FROM events WHERE value > 300
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' AND value > 300
+    """,
+)
+def high_value_except(spark, sf_dir):
+    """Set op EXCEPT."""
+    e = _t(spark, sf_dir, "events")
+    hv = e.filter(F.col("value") > 300).select("user_id").distinct()
+    su = (
+        e.filter((F.col("event_type") == "signup") & (F.col("value") > 300))
+        .select("user_id")
+        .distinct()
+    )
+    return hv.exceptAll(su).distinct()
+
+
+@q(
+    "sentence_stats",
+    """
+    SELECT lang,
+           sum(len(list_filter(regexp_extract_all(text, '[^.!?]+'),
+                               x -> trim(x) <> ''))) AS total_sentences,
+           count(*) AS docs
+    FROM documents GROUP BY lang
+    """,
+)
+def sentence_stats(spark, sf_dir):
+    """P8 sentence counting per language (regex segmenter shared with the
+    DuckDB oracle — RE2-safe formulation, no lookbehind)."""
+    docs = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^.!?]+"), 0),
+        lambda s: F.trim(s) != F.lit(""),
+    )
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(sents)).alias("total_sentences"),
+        F.count("*").alias("docs"),
+    )
+
+
 # === TPC-H-ish relational (scan/filter/join/agg pushdown showcases) ==========
 
 

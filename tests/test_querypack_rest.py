@@ -1,0 +1,98 @@
+"""Remaining query-pack templates: ip_connections, attack_details,
+port_analysis, protocol_analysis, general, anomalies, suspicious_ips,
+port_scanners, attacks_detected."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_rag_spark import synth
+from knowledge_graph_rag_spark.operators import graph_build as GB
+from knowledge_graph_rag_spark.operators import network as N
+from knowledge_graph_rag_spark.operators import querypack as Q
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    logs = synth.network_logs_df(spark, 500)
+    conns = N.score_connections(N.parse_logs(logs))
+    nodes = GB.telemetry_nodes(conns, "g1").cache()
+    edges = GB.telemetry_edges(conns, "g1").cache()
+    nodes.count(), edges.count()
+    return nodes, edges
+
+
+def test_ip_connections(graph):
+    nodes, edges = graph
+    rows = Q.ip_connections(nodes, edges, synth.SCANNER_IP).collect()
+    assert rows and len(rows) <= 25
+    assert all(r.source_ip == synth.SCANNER_IP for r in rows)
+    assert {r.connection_type for r in rows} <= {"CONNECTED_TO", "USES_PORT", "INVOLVED_IN"}
+
+
+def test_attack_details(graph):
+    nodes, edges = graph
+    rows = Q.attack_details(nodes, edges, "reconnaissance").collect()
+    assert rows
+    r = rows[0]
+    assert r.attack == "Reconnaissance"
+    assert synth.SCANNER_IP in r.source_ips
+    assert r.occurrences >= 1
+
+
+def test_port_analysis(graph):
+    nodes, edges = graph
+    rows = Q.port_analysis(nodes, edges).collect()
+    assert rows and len(rows) <= 15
+    svc = {r.port: r.service for r in rows}
+    assert any(s == "HTTPS" for s in svc.values())
+    counts = [r.connections for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_protocol_analysis(graph):
+    nodes, edges = graph
+    rows = Q.TEMPLATES["protocol_analysis"](nodes, edges).collect()
+    protos = {r.protocol: r.usage for r in rows}
+    assert "TCP" in protos and protos["TCP"] == max(protos.values())
+
+
+def test_general_overview(graph):
+    nodes, edges = graph
+    rows = Q.TEMPLATES["general"](nodes, edges).collect()
+    types = {r.type for r in rows}
+    assert {"InternalIP", "Port"} <= types
+    for r in rows:
+        assert len(r.examples) <= 5
+
+
+def test_suspicious_and_scanners(graph):
+    nodes, edges = graph
+    sus = {r.ip_address for r in Q.suspicious_ips(nodes, edges).collect()}
+    assert synth.SCANNER_IP in sus or synth.RECON_EXPLOIT_IP in sus
+    scan = {r.source_ip for r in Q.port_scanners(nodes, edges).collect()}
+    assert synth.SCANNER_IP in scan
+
+
+def test_attacks_detected_buckets(graph):
+    nodes, edges = graph
+    rows = Q.attacks_detected(nodes, edges).collect()
+    assert rows
+    buckets = {r.threat_type for r in rows}
+    assert buckets <= {
+        "Port Scanning", "Reconnaissance", "High Volume Traffic", "Suspicious Activity",
+    }
+    for r in rows:
+        assert len(r.sample_ips) <= 5 and r.affected_ips >= len(r.sample_ips) >= 1
+
+
+def test_anomalies_severity_ladder(graph):
+    nodes, edges = graph
+    rows = Q.anomalies(nodes, edges).collect()
+    assert rows and len(rows) <= 15
+    for r in rows:
+        if r.ports_accessed > 10 and r.connections > 50:
+            assert r.severity == "Critical"
+        assert r.anomaly_type in {
+            "Port Scanning + High Volume", "Multi-port Access",
+            "High Connection Volume", "Unusual Activity",
+        }
