@@ -30,9 +30,14 @@ from knowledge_graph_rag_spark.operators import extract as X
 cores, n_docs = int(sys.argv[1]), int(sys.argv[2])
 spark = get_spark(app_name=f"kgrs-scale-{{cores}}", cores=cores,
                   shuffle_partitions=max(8, cores))
-docs = synth.documents_df(spark, n_docs)
+# materialize the corpus OUTSIDE the measured section: the engine's job is
+# read → extract → resolve, not test-fixture generation
+corpus = f"/tmp/kgrs_scale_corpus_{{n_docs}}.parquet"
+if not os.path.exists(corpus + "/_SUCCESS"):
+    synth.documents_df(spark, n_docs).write.mode("overwrite").parquet(corpus)
+docs = spark.read.parquet(corpus)
 # warm-up: JIT + Python worker pool (enough partitions to spin every worker)
-X.extract_triples(spark, synth.documents_df(spark, cores * 512)).count()
+X.extract_triples(spark, docs.limit(cores * 512)).count()
 t0 = time.time()
 n_triples = X.extract_triples(spark, docs).count()
 elapsed = time.time() - t0

@@ -69,6 +69,41 @@ def truncate_col(col: Column, max_length: int = 10000) -> Column:
     ).otherwise(col)
 
 
+def truncate_smart_col(col: Column, max_length: int = 10000,
+                       add_ellipsis: bool = True) -> Column:
+    """Boundary-aware truncation (text_processors.py:81-111): cut at the last
+    sentence end when it falls past 80% of max_length, else hard cut; optional
+    ellipsis. The 'last sentence end' is found with one greedy regex
+    ((?s)^(.*[.!?])) — no UDF."""
+    hard = F.substring(col, 1, max_length)
+    to_boundary = F.regexp_extract(hard, r"(?s)^(.*[.!?])", 1)
+    boundary_ok = F.length(to_boundary) > F.lit(int(0.8 * max_length))
+    cut = F.when(boundary_ok, to_boundary).otherwise(hard)
+    if add_ellipsis:
+        cut = F.concat(cut, F.lit("..."))
+    return F.when(F.length(col) <= max_length, col).otherwise(cut)
+
+
+# boilerplate patterns (text_processors.py:209-216)
+_BOILERPLATE_PATTERNS = (
+    r"(?i)terms\s+and\s+conditions.*",
+    r"(?i)privacy\s+policy.*",
+    r"(?i)all\s+rights\s+reserved.*",
+    r"(?i)copyright\s+\d{4}.*",
+    r"(?i)confidential.*",
+    r"(?i)page\s+\d+\s+of\s+\d+",
+)
+
+
+def remove_boilerplate_col(col: Column) -> Column:
+    """Strip common boilerplate (text_processors.py:198-220) — chained
+    regexp_replace, constant-folded into one codegen stage."""
+    out = col
+    for pat in _BOILERPLATE_PATTERNS:
+        out = F.regexp_replace(out, pat, "")
+    return F.trim(out)
+
+
 def chunk_text(text: str, chunk_size: int = 4000, overlap: int = 200) -> list[str]:
     """Boundary-aware overlapping chunks — semantics of
     ``graph_extractor.py:583-619`` (sentence break preferred past the half-way

@@ -973,11 +973,48 @@ def media_span_manifest(spark, sf_dir):
     )
 
 
+def _telemetry_graph(spark, n_logs: int = 800):
+    from .. import synth
+    from ..operators import graph_build as GB
+    from ..operators import network as N
+
+    conns = N.score_connections(N.parse_logs(synth.network_logs_df(spark, n_logs)))
+    return GB.telemetry_nodes(conns, "g"), GB.telemetry_edges(conns, "g")
+
+
+def template_exploit_preparation(spark, sf_dir):
+    """The native flagship template (A17) over materialized nodes/edges —
+    semantics pinned against planted patterns in tests/test_network_graph.py;
+    exposed here rows-only so the driver exercises the template pack too."""
+    from ..operators import querypack as Q
+
+    nodes, edges = _telemetry_graph(spark)
+    return Q.exploit_preparation(nodes, edges)
+
+
+def template_network_topology(spark, sf_dir):
+    from ..operators import querypack as Q
+
+    nodes, edges = _telemetry_graph(spark)
+    return Q.network_topology(nodes, edges)
+
+
+def graph_anomaly_detect_all(spark, sf_dir):
+    """A6-A9 union over the telemetry graph (rows-only)."""
+    from ..operators import detectors as D
+
+    nodes, edges = _telemetry_graph(spark)
+    return D.detect_all(nodes, edges)
+
+
 _ROWS_ONLY = {
     "kg_triples": kg_triples,
     "kg_node_summary": kg_node_summary,
     "minhash_surface_candidates": minhash_surface_candidates,
     "media_span_manifest": media_span_manifest,
+    "template_exploit_preparation": template_exploit_preparation,
+    "template_network_topology": template_network_topology,
+    "graph_anomaly_detect_all": graph_anomaly_detect_all,
 }
 
 

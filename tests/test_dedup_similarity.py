@@ -68,11 +68,14 @@ def test_lsh_topk_recall(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     queries = emb.filter(F.col("vec_id") < 5)
     exact = SIM.brute_force_topk(emb, queries, k=3).collect()
-    approx = SIM.lsh_topk(emb, queries, dim=64, k=3, bits=6, num_tables=6).collect()
+    # this corpus is near-random (true top-3 cosines ≈ 0.39), so the bucket
+    # width must be coarse: 3 bits / 16 tables. With clustered real
+    # embeddings (cos ≥ 0.8 neighbors) 8 bits / 4 tables suffices.
+    approx = SIM.lsh_topk(emb, queries, dim=64, k=3, bits=3, num_tables=16).collect()
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.5, recall  # candidate generation must find most true neighbors
+    assert recall >= 0.8, recall  # candidate generation must find true neighbors
 
 
 def test_media_pipeline(spark):

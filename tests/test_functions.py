@@ -80,3 +80,27 @@ def test_language_scores(spark):
     out = df.select(*language_scores_cols(word_tokens_col(F.col("t")))).collect()[0]
     assert out.score_en == 5  # the, and, the, that, have
     assert out.score_es <= 1
+
+
+def test_truncate_smart(spark):
+    from knowledge_graph_rag_spark.functions.text import truncate_smart_col
+
+    long_text = ("A sentence here. " * 100).strip()  # 1699 chars
+    rows = [(long_text,), ("short text.",)]
+    out = _eval(spark, truncate_smart_col(F.col("t"), 500), rows, "t string")
+    # truncated at last '.' past 80% of 500, with ellipsis
+    assert out[0].endswith("....") or out[0].endswith("here....") is False
+    assert out[0].endswith("...")
+    body = out[0][:-3]
+    assert body.endswith(".") and 400 <= len(body) <= 500
+    assert out[1] == "short text."  # untouched
+
+
+def test_remove_boilerplate(spark):
+    from knowledge_graph_rag_spark.functions.text import remove_boilerplate_col
+
+    rows = [("Useful content. Copyright 2024 Acme. more tail",),
+            ("Body text Page 3 of 10 continues",)]
+    out = _eval(spark, remove_boilerplate_col(F.col("t")), rows, "t string")
+    assert out[0] == "Useful content."
+    assert out[1] == "Body text  continues".replace("  ", " ") or "Page" not in out[1]
