@@ -105,8 +105,16 @@ def minhash_link(
     """Near-duplicate surface forms via MinHashLSH over character 3-gram sets
     (SURVEY.md §4 item 3 — ``approxSimilarityJoin`` is the built-in
     specialized join; all JVM)."""
-    df = surfaces.select(surface_col).distinct().withColumn(
-        "chars", F.split(F.lower(F.col(surface_col)), "")
+    # localCheckpoint: the ML fit + LSH join re-evaluate their input several
+    # times; a lazily-recomputed (UDF-sourced) plan must be pinned to a stable
+    # materialization first or CountVectorizer's vocabulary and the transform
+    # input can diverge. The distinct-surface set is bounded by vocabulary
+    # size, so this is cheap at any corpus scale.
+    df = (
+        surfaces.select(surface_col)
+        .distinct()
+        .localCheckpoint(eager=True)
+        .withColumn("chars", F.split(F.lower(F.col(surface_col)), ""))
     )
     ngram = NGram(n=3, inputCol="chars", outputCol="shingles")
     shingled = ngram.transform(df).filter(F.size("shingles") > 0)

@@ -92,23 +92,41 @@ def run(
 
     # --- canonicalize ------------------------------------------------------------
     def compute_canonical():
+        """Fuzzy (MinHash-LSH + CC) canonicalization of surface forms.
+
+        Guard: only name-like types (vocab.FUZZY_LINKABLE_TYPES) may link
+        fuzzily. Everything else resolves by exact normalize_key only —
+        near-identical surfaces of IPs / dates / CVE ids / numbered products
+        denote DISTINCT entities (192.168.1.10 vs .11, CVE-2023-10001 vs
+        10002), and the reference is explicit that IPs match by exact label
+        (graph_merger.py:26-28). Pinned by
+        test_canonicalize_never_links_telemetry.
+        """
+        from ..vocab import FUZZY_LINKABLE_TYPES
+
+        aliases = F.broadcast(X.alias_df(spark))
         surfaces = (
             raw.select(F.explode("mentions").alias("m"))
             .select(F.col("m.surface").alias("surface"))
             .distinct()
+            .join(aliases, "surface", "left")
         )
+        fuzzy = surfaces.filter(
+            F.col("type").isin(*FUZZY_LINKABLE_TYPES)
+        ).select("surface")
         if enable_lsh_canonicalization:
-            pairs = L.minhash_link(surfaces, jaccard_max_dist=0.35)
+            pairs = L.minhash_link(fuzzy, jaccard_max_dist=0.55)
             cmap = C.canonical_map_from_links(
                 pairs.select("surface_a", "surface_b")
             )
         else:
-            cmap = surfaces.select(
+            cmap = fuzzy.select(
                 "surface", F.col("surface").alias("canonical_surface")
             )
-        # identity rows for surfaces not in any link pair
+        # identity rows for telemetry/security surfaces and unlinked ones
         return (
-            surfaces.join(cmap, "surface", "left")
+            surfaces.select("surface")
+            .join(cmap, "surface", "left")
             .select(
                 "surface",
                 F.coalesce("canonical_surface", "surface").alias("canonical_surface"),

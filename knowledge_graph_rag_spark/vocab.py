@@ -186,3 +186,15 @@ COLUMN_ALIASES: dict[str, tuple[str, ...]] = {
     "action": ("action", "state"),
     "attack_type": ("attack_type", "attack_cat", "label_cat", "category"),
 }
+
+
+# Types whose surface forms may be fuzzily linked (MinHash-LSH / embedding
+# similarity) during canonicalization. Everything else resolves ONLY by exact
+# normalize_key: near-identical surfaces of these types denote DISTINCT
+# entities (192.168.1.10 vs .11, CVE-2023-10001 vs 10002, Widget 1000 vs 1001,
+# January 1, 2015 vs January 8, 2016) — the reference is explicit that IPs
+# match by exact label (graph_merger.py:26-28).
+FUZZY_LINKABLE_TYPES: frozenset[str] = frozenset(
+    {"Person", "Organization", "Location", "Device", "Event", "Technology",
+     "Document", "Concept"}
+)

@@ -154,3 +154,33 @@ def test_run_full_merged_pipeline(spark, store):
     # resume: everything skipped
     res2 = run_full(spark, docs, logs, store, run_id="rf2")
     assert not res2.stages_run
+
+
+def test_canonicalize_never_links_telemetry(spark, store):
+    """LSH canonicalization must not merge near-identical telemetry labels
+    (192.168.1.10 vs .11 are distinct entities) — only semantic surfaces go
+    through the fuzzy path."""
+    docs = synth.documents_df(spark, 60)
+    pipeline.run(spark, docs, store, graph_id="kg", run_id="r1",
+                 enable_lsh_canonicalization=True)
+    cmap = {r.surface: r.canonical_surface for r in store.read("canonical_map").collect()}
+    # every IP-looking surface maps to itself
+    import re
+
+    ip_re = re.compile(r"^\d+\.\d+\.\d+\.\d+$")
+    ips = [s for s in cmap if ip_re.match(s)]
+    assert ips, "corpus should mention IPs"
+    for s in ips:
+        assert cmap[s] == s, (s, cmap[s])
+    # surfaces of non-fuzzy-linkable types (dates, numbered products, CVE ids)
+    # always map to themselves — near-identical ≠ same entity
+    for s in cmap:
+        if s.startswith(("January", "February", "Widget", "CVE-", "port ")):
+            assert cmap[s] == s, (s, cmap[s])
+    # true org aliases DO link: the Acme variants share a canonical form
+    acme = {s: c for s, c in cmap.items() if s.startswith("Acme")}
+    assert len(acme) > 1, "corpus should mention Acme alias variants"
+    assert len(set(acme.values())) == 1, acme
+    # distinct organizations never merge
+    if "Globex Corp" in cmap:
+        assert cmap["Globex Corp"] != cmap["Acme Corp"]
