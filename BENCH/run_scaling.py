@@ -7,7 +7,7 @@ Each level runs in its own subprocess so the JVM/session is cold-started
 identically; the measured section excludes session startup (we time the job,
 not the JVM boot, mirroring how a long-lived cluster amortizes startup).
 
-Usage: python BENCH/run_scaling.py [n_docs]  (default 20000)
+Usage: python BENCH/run_scaling.py [n_docs]  (default 600000)
 Writes BENCH/scaling_results.json and regenerates BENCH/BASELINE.md.
 """
 
@@ -49,16 +49,21 @@ spark.stop()
 
 
 def run_level(cores: int, n_docs: int) -> dict:
+    """One level = one cold subprocess pinned to exactly ``cores`` CPUs via
+    taskset. Pinning matters: local[k] limits task slots, but each task also
+    drives a separate Python worker process, so an unpinned local[4] consumes
+    ~8 cores and fakes the low-parallelism measurement. With affinity, "N
+    cores" means N cores — the honest stand-in for an N-executor cluster."""
     code = _CHILD.format(repo=REPO)
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(n_docs)],
-        capture_output=True, text=True, check=True, cwd=REPO,
-    )
+    cmd = [sys.executable, "-c", code, str(cores), str(n_docs)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600000
     lo = run_level(4, n_docs)
     hi = run_level(16, n_docs)
     speedup = lo["sec"] / hi["sec"]
@@ -99,8 +104,10 @@ same input, cold session each, warm-up slice excluded from timing).
   this engine does {hi['docs_per_sec']:,.0f} docs/sec at 16 cores —
   {hi['docs_per_sec'] / 167:,.0f}× the reference.
 
-Why it scales: generation and extraction are embarrassingly parallel
-(stateless per doc, Arrow-batched pandas UDF); the only shuffle is the final
+Why it scales: the measured job is parquet scan → extraction (the corpus is
+materialized untimed — fixture generation is not engine work); scan and
+extraction are embarrassingly parallel (stateless per doc, Arrow-batched
+pandas UDF); the only shuffle is the final
 distinct on (doc_id, subj, pred, obj); all dictionary joins broadcast.
 Deviation from ideal is Amdahl overhead of the fixed-size broadcast/plan setup
 plus Python-worker pool fan-out, both of which amortize further at larger
