@@ -29,7 +29,11 @@ from knowledge_graph_rag_spark.operators import extract as X
 
 cores, n_docs = int(sys.argv[1]), int(sys.argv[2])
 spark = get_spark(app_name=f"kgrs-scale-{{cores}}", cores=cores,
-                  shuffle_partitions=max(8, cores))
+                  shuffle_partitions=max(8, cores),
+                  # split the compressed text corpus fine enough that every
+                  # core gets multiple waves of extraction work
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+                               "spark.sql.files.openCostInBytes": str(128 * 1024)}})
 # materialize the corpus OUTSIDE the measured section: the engine's job is
 # read → extract → resolve, not test-fixture generation
 corpus = f"/tmp/kgrs_scale_corpus_{{n_docs}}.parquet"

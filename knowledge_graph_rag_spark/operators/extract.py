@@ -304,6 +304,10 @@ def resolve_triples(spark: SparkSession, raw: DataFrame) -> DataFrame:
         .withColumn("f_obj_type", F.when(flip, F.col("subj_type")).otherwise(F.col("obj_type")))
     )
 
+    # distinct over ALL output columns (types are functionally dependent on
+    # the entity, so the key is equivalent to (doc_id, subj, pred, obj)) —
+    # this compiles to a partial+final HashAggregate instead of the
+    # Sort+SortAggregate a dropDuplicates-with-carried-columns would plan
     return (
         resolved.select(
             "doc_id",
@@ -313,7 +317,7 @@ def resolve_triples(spark: SparkSession, raw: DataFrame) -> DataFrame:
             F.col("f_obj").alias("obj"),
             F.col("f_obj_type").alias("obj_type"),
         )
-        .dropDuplicates(["doc_id", "subj", "pred", "obj"])
+        .distinct()
         .withColumn("confidence", F.lit(0.7))  # T3 default, graph_extractor.py:438
     )
 

@@ -173,7 +173,7 @@ def multi_stage(spark, sf_dir):
       SELECT user_id, event_type, count(*) AS type_count
       FROM events GROUP BY user_id, event_type
     ), per_user AS (
-      SELECT user_id, count(*) AS distinct_types, sum(type_count) AS total_events
+      SELECT user_id, count(*) AS distinct_types, sum(type_count)::BIGINT AS total_events
       FROM tc GROUP BY user_id
       HAVING count(*) >= 4 AND sum(type_count) >= 50
     ), ranked AS (
@@ -182,7 +182,7 @@ def multi_stage(spark, sf_dir):
                                 ORDER BY tc.type_count DESC, tc.event_type) AS rn
       FROM tc JOIN per_user USING (user_id)
     ), top2 AS (
-      SELECT user_id, sum(type_count) AS top2_count
+      SELECT user_id, sum(type_count)::BIGINT AS top2_count
       FROM ranked WHERE rn <= 2 GROUP BY user_id
     )
     SELECT p.user_id, p.distinct_types, p.total_events, t.top2_count,
@@ -449,7 +449,7 @@ def high_value_except(spark, sf_dir):
     """
     SELECT lang,
            sum(len(list_filter(regexp_extract_all(text, '[^.!?]+'),
-                               x -> trim(x) <> ''))) AS total_sentences,
+                               x -> trim(x) <> '')))::BIGINT AS total_sentences,
            count(*) AS docs
     FROM documents GROUP BY lang
     """,
@@ -678,7 +678,7 @@ def language_detect(spark, sf_dir):
     "token_stats_by_lang",
     """
     SELECT lang,
-           sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')))
+           sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')))::BIGINT
              AS total_tokens,
            round(avg(n_chars), 2) AS avg_chars
     FROM documents GROUP BY lang

@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Text-heavy pandas-UDF stages are CPU-bound per byte: a default
+        # 128 MB split puts minutes of regex work in one task and caps
+        # parallelism on compressed text corpora. 16 MB splits keep every
+        # core busy; AQE re-coalesces downstream where splits are too fine.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
