@@ -14,8 +14,16 @@ layout and commit protocol mirror it):
   skip committed units → the resume contract of the north rule.
 
 Snapshots are directories ``<root>/<table>/snapshot=<n>``; the active snapshot
-is the max n with a ``_SUCCESS`` marker, so a killed write is invisible
-(atomic-by-rename is not assumed; readers only trust _SUCCESS).
+is the max n with a ``_COMMITTED`` marker, so a killed write is invisible
+(atomic-by-rename is not assumed; readers only trust the marker).
+
+Scale note: this sandbox store rewrites the whole table per snapshot
+(copy-on-write at table granularity) because there is no catalog service.
+On a real deployment the same call sites map 1:1 onto Iceberg's
+``overwritePartitions``/``RewriteFiles`` commits — per-partition manifests
+mean a MERGE into one graph_id touches only that partition's files, and the
+manifest ledger below becomes Iceberg snapshot metadata. The engine-facing
+API (store_graph / store_graph_merge / read / is_done) would not change.
 """
 
 from __future__ import annotations

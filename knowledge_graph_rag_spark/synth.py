@@ -169,6 +169,8 @@ EXFIL_DST = "203.0.113.99"
 DEGREE_SPIKE_IP = "10.8.8.8"
 MULTI_STAGE_IP = "10.7.7.7"
 RECON_EXPLOIT_IP = "10.6.6.6"
+MALWARE_PORT_IP = "192.168.1.99"
+EPHEMERAL_IP = "10.5.5.5"
 
 
 def _baseline_log(i: int) -> dict:
@@ -235,6 +237,14 @@ def _planted_logs(n_base: int) -> list[dict]:
     for p in (22, 3389, 445):
         for _ in range(10):
             log(RECON_EXPLOIT_IP, "192.168.1.88", p, attack="Exploits")
+    # suspicious-port hits: internal → external on known-malware ports
+    # (network_parser.py:53, graph_anomaly_detector.py:292-301)
+    for p, n in ((4444, 4), (31337, 2), (5555, 2)):
+        for _ in range(n):
+            log(MALWARE_PORT_IP, "203.0.113.50", p, attack="Exploits")
+    # high-ephemeral-port traffic (anomaly_detector.py:236-238)
+    for _ in range(3):
+        log(EPHEMERAL_IP, "192.168.5.5", 55555)
     return rows
 
 

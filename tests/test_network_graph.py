@@ -139,3 +139,43 @@ def test_anomaly_report_rollup(graph):
     assert {"degree_spike", "fan_out_port_scan", "rare_protocol"} <= types
     top = rep["top_entities"].collect()
     assert len(top) <= 5 and top[0].total_score >= top[-1].total_score
+
+
+def test_ip_statistics_a1(graph):
+    conns, _, _ = graph
+    stats = {r.ip: r for r in N.ip_statistics(conns).collect()}
+    scanner = stats[synth.SCANNER_IP]
+    assert scanner.outgoing_connections == 25
+    assert scanner.unique_ports_accessed == 25
+    assert scanner.unique_destinations == 1
+    assert scanner.is_internal
+    target = stats[synth.SCAN_TARGET]
+    assert target.incoming_connections == 25
+
+
+def test_anomaly_summary_a5(graph):
+    conns, _, _ = graph
+    s = N.analyze_summary(conns).collect()[0]
+    assert s.total_connections == conns.count()
+    assert 0 < s.anomalies_detected <= s.total_connections
+    assert abs(s.anomaly_percentage - 100.0 * s.anomalies_detected / s.total_connections) < 1e-9
+
+    types = {r.anomaly_type for r in N.anomaly_type_counts(conns).collect()}
+    assert any(t.startswith("large_external_transfer") for t in types)
+    assert any(t.startswith("suspicious_port") for t in types)
+
+    top = N.top_suspicious_ips(conns).collect()
+    assert len(top) == 10
+    assert top[0].total_score >= top[-1].total_score
+    assert synth.EXFIL_IP in {r.ip for r in top}
+
+
+def test_suspicious_port_detector_a9(graph):
+    _, nodes, edges = graph
+    rows = D.detect_suspicious_port_access(nodes, edges).collect()
+    assert rows
+    by_ent = {(r.entity, r.port): r for r in rows}
+    assert (synth.MALWARE_PORT_IP, 4444) in by_ent
+    r = by_ent[(synth.MALWARE_PORT_IP, 4444)]
+    assert r.port_description == "Metasploit default"
+    assert r.occurrences == 4 and r.confidence_score == 0.85 and r.severity == "high"
