@@ -200,6 +200,7 @@ def attack_details(nodes: DataFrame, edges: DataFrame, attack_type: str) -> Data
             ).alias("source_ips"),
             F.count("src").alias("occurrences"),
         )
+        .orderBy(F.desc("occurrences"), "attack")
         .limit(10)
     )
 
