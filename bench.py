@@ -45,7 +45,16 @@ def main() -> None:
     from knowledge_graph_rag_spark.operators import extract as X
     from knowledge_graph_rag_spark.plans import driver_queries as DQ
 
-    spark = get_spark(app_name="kgrs-bench", cores=CPUS)
+    spark = get_spark(
+        app_name="kgrs-bench",
+        cores=CPUS,
+        # fine splits: the sf0.1 text corpora are small but CPU-dense, so
+        # byte-sized default splits would underuse the cores
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(512 * 1024),
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+        },
+    )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
     timings: dict[str, float] = {}
