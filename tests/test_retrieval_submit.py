@@ -1,0 +1,72 @@
+"""Retrieval engine queries (§3.2) + the spark-submit job entry point."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_rag_spark import synth
+from knowledge_graph_rag_spark.operators import extract as X
+from knowledge_graph_rag_spark.operators import graph_build as GB
+from knowledge_graph_rag_spark.operators import retrieval as R
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    raw = X.extract_raw(X.explode_spans(synth.documents_df(spark, 120))).cache()
+    nodes = GB.semantic_nodes(X.resolve_mentions(spark, raw), "kg").cache()
+    edges = GB.semantic_edges(X.resolve_triples(spark, raw), "kg").cache()
+    nodes.count(), edges.count()
+    return nodes, edges
+
+
+def test_entity_search(kg):
+    nodes, _ = kg
+    hits = R.entity_search(nodes, "acme")
+    rows = hits.collect()
+    assert rows and all("acme" in r.label.lower() for r in rows)
+
+
+def test_node_info(kg):
+    nodes, edges = kg
+    some = R.entity_search(nodes, "acme", 1).collect()[0]
+    node, neighbors = R.node_info(nodes, edges, some.node_id)
+    assert node.count() == 1
+    nb = neighbors.collect()
+    assert nb and all(r.direction in ("in", "out") for r in nb)
+    assert all(r.neighbor_label is not None for r in nb)
+
+
+def test_paths_between(kg):
+    nodes, edges = kg
+    paths = R.paths_between(nodes, edges, "Acme", "Springfield").collect()
+    # Acme is the hub org, Springfield the hub location: a path should exist
+    assert paths and all(p.hops <= 2 for p in paths)
+
+
+def test_graph_overview(kg):
+    nodes, edges = kg
+    rows = R.graph_overview(nodes, edges).collect()
+    assert rows and rows[0]["count"] >= rows[-1]["count"]
+    assert all(len(r.examples) <= 5 for r in rows)
+
+
+def test_kg_submit_job(tmp_path):
+    """Drive the spark-submit entry point as a real CLI, twice (resume)."""
+    wh = str(tmp_path / "wh")
+    cmd = [sys.executable, "jobs/kg_submit.py", "--synthesize", "60",
+           "--warehouse", wh, "--graph-id", "kgx", "--no-lsh"]
+    out1 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo",
+                          timeout=420)
+    assert out1.returncode == 0, out1.stderr[-800:]
+    res1 = json.loads(out1.stdout.strip().splitlines()[-1])
+    assert res1["counts"]["triples"] > 0 and "kgx" in res1["graphs"]
+    assert "extract" in res1["stages_run"]
+
+    out2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo",
+                          timeout=420)
+    res2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert not res2["stages_run"]  # fully resumed
+    assert res2["counts"] == res1["counts"]
