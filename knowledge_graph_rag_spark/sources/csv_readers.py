@@ -67,7 +67,13 @@ def detect_dataset_format(csv_path: str) -> tuple[str, list[str]]:
 
 def _row_index(df: DataFrame) -> DataFrame:
     """Deterministic 0-based row index in file order (replacement for the
-    reference's enumerate(); parquet/CSV scans preserve order per file)."""
+    reference's enumerate()).
+
+    Scale note: the global window is a single-partition sort — acceptable ONLY
+    because every CSV reader is bounded by the reference's own max_rows cap
+    (≤5000, auto_processor.py:119,531,866). An uncapped ingest would instead
+    derive the index from (file, offset) via input_file_name + a per-file
+    running count, or make timestamps a function of content hash."""
     from pyspark.sql import Window
 
     w = Window.orderBy(F.monotonically_increasing_id())
