@@ -5,9 +5,12 @@ data-pipeline layer the task brief requires alongside the reference parity
 (exact dedup is also the reference's A4/U3 semantics):
 
 - exact:       content-hash groupBy (one shuffle on the 32-hex key)
-- minhash_lsh: shingle → MinHashLSH banding → bucket join (Spark ML, JVM)
-- simhash:     64-bit simhash via vectorized pandas UDF → band join on
-               16-bit sub-keys → Hamming-distance verify (native bit ops)
+- minhash_lsh: shingle → MinHashLSH banding → bucket join (Spark ML, JVM;
+  Broder, "On the resemblance and containment of documents", 1997)
+- simhash:     64-bit simhash (Charikar, "Similarity estimation techniques
+               from rounding algorithms", STOC 2002) via vectorized pandas
+               UDF → band join on 16-bit sub-keys (pigeonhole: Hamming ≤ 3
+               over 4 bands shares a band) → native bit_count verify
 - ngram_jaccard: exact shingle-join Jaccard (the verifier for the approx paths)
 - embedding_cosine: near-dup via feature-hash embedding + blocked cosine join
 

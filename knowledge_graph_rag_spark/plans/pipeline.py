@@ -115,10 +115,17 @@ def run(
             F.col("type").isin(*FUZZY_LINKABLE_TYPES)
         ).select("surface")
         if enable_lsh_canonicalization:
-            pairs = L.minhash_link(fuzzy, jaccard_max_dist=0.55)
-            cmap = C.canonical_map_from_links(
-                pairs.select("surface_a", "surface_b")
+            # candidates from BOTH linkers (north star: alias dictionary +
+            # embedding similarity + MinHash-LSH): LSH catches shared-shingle
+            # variants, embedding cosine catches reorderings/contractions;
+            # connected components unions them into clusters
+            mh = L.minhash_link(fuzzy, jaccard_max_dist=0.55).select(
+                "surface_a", "surface_b"
             )
+            cos = L.cosine_link(fuzzy, threshold=0.92).select(
+                "surface_a", "surface_b"
+            )
+            cmap = C.canonical_map_from_links(mh.unionByName(cos).distinct())
         else:
             cmap = fuzzy.select(
                 "surface", F.col("surface").alias("canonical_surface")

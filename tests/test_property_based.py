@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels whose
+invariants the distributed plans rely on."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from knowledge_graph_rag_spark.functions.text import chunk_text
+from knowledge_graph_rag_spark.operators.extract import _extract_from_text
+from knowledge_graph_rag_spark import oracle, synth
+
+
+@given(st.text(min_size=0, max_size=3000), st.integers(100, 500))
+@settings(max_examples=60, deadline=None)
+def test_chunk_text_invariants(text, chunk_size):
+    chunks = chunk_text(text, chunk_size=chunk_size, overlap=chunk_size // 5)
+    # every chunk within size; non-empty for non-empty input
+    assert all(len(c) <= chunk_size for c in chunks)
+    if text:
+        assert chunks
+        # coverage: first chunk starts the text, last chunk ends it
+        assert text.startswith(chunks[0])
+        assert text.endswith(chunks[-1][-min(len(chunks[-1]), 10):])
+        # progress: total material ≥ original (overlap only adds)
+        assert sum(len(c) for c in chunks) >= len(text)
+    else:
+        assert chunks == [""]
+
+
+@given(st.integers(0, 5000))
+@settings(max_examples=40, deadline=None)
+def test_gen_doc_deterministic_and_valid(i):
+    d1, d2 = synth.gen_doc(i), synth.gen_doc(i)
+    assert d1 == d2  # pure function of index
+    offsets = [s["offset"] for s in d1["spans"]]
+    assert offsets == sorted(offsets) and len(set(offsets)) == len(offsets)
+    for s in d1["spans"]:
+        if s["kind"] == "text":
+            assert s["text"] and s["media_ref"] == ""
+        else:
+            assert s["text"] == "" and s["media_ref"].startswith("m://")
+
+
+@given(st.integers(0, 2000))
+@settings(max_examples=25, deadline=None)
+def test_extract_agrees_with_oracle_per_doc(i):
+    """The vectorized extractor's per-text kernel and the independent oracle
+    implementation agree on every synthesizable document."""
+    doc = synth.gen_doc(i)
+    spark_mentions = set()
+    for s in doc["spans"]:
+        ms, _ = _extract_from_text(s["text"])
+        for surf, _idx in ms:
+            spark_mentions.add(surf)
+    oracle_mentions, _ = oracle.extract_doc(doc)
+    # oracle returns canonical (label, type); map spark surfaces through alias
+    from knowledge_graph_rag_spark.gazetteer import surface_to_entity
+
+    alias = surface_to_entity()
+    assert {alias[s] for s in spark_mentions} == oracle_mentions
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_extract_never_crashes_on_arbitrary_text(text):
+    mentions, triples = _extract_from_text(text)
+    for surf, idx in mentions:
+        assert surf in text or re.sub(r"\s+", " ", surf) not in ("",)
+    for s, p, o, _ in triples:
+        assert p.isupper()
