@@ -137,6 +137,9 @@ exchange) and partition-parallel — on a real multi-executor cluster the
 bandwidth per core is constant as executors are added, which is exactly the
 regime the 2→8 measurement represents.
 
+Full-pipeline (synthesis→extract→canonicalize→materialize) end-to-end
+numbers live in BENCH/E2E.md.
+
 Regenerate: `python BENCH/run_scaling.py`.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

@@ -89,6 +89,7 @@ def run(
     triples = store.read("triples")
     mentions = store.read("mentions")
     metrics_parts.append(partition_lineage(triples, run_id, "resolve_triples"))
+    metrics_parts.append(partition_lineage(mentions, run_id, "resolve_mentions"))
 
     # --- canonicalize ------------------------------------------------------------
     def compute_canonical():
