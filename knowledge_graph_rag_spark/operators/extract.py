@@ -248,25 +248,51 @@ def extract_raw(spans: DataFrame) -> DataFrame:
 # --- dictionary DataFrames (broadcast sides) --------------------------------
 
 
+# Dictionary frames are cached per live session (keyed by session id):
+# rebuilding + re-broadcasting ~350 constant rows on every resolve call costs
+# a fixed few hundred ms per job — pure Amdahl overhead at high parallelism.
+_dict_cache: dict[tuple[int, str], DataFrame] = {}
+
+
+def _cached_dict(spark: SparkSession, key: str, build) -> DataFrame:
+    cache_key = (id(spark), key)
+    if cache_key not in _dict_cache:
+        _dict_cache[cache_key] = build().cache()
+    return _dict_cache[cache_key]
+
+
 def alias_df(spark: SparkSession) -> DataFrame:
     """surface → (label, type, entity_class): the J3 alias dictionary; always
     broadcast (north-rule requirement)."""
-    return spark.createDataFrame(
-        G.alias_rows(), schema="surface string, label string, type string, entity_class string"
+    return _cached_dict(
+        spark,
+        "alias",
+        lambda: spark.createDataFrame(
+            G.alias_rows(),
+            schema="surface string, label string, type string, entity_class string",
+        ),
     )
 
 
 def semantic_map_df(spark: SparkSession) -> DataFrame:
-    rows = [(s, t, p, canon) for (s, t, p), canon in SEMANTIC_RELATIONSHIP_MAP.items()]
-    return spark.createDataFrame(
-        rows, schema="sm_src_type string, sm_dst_type string, sm_pred string, canonical string"
+    return _cached_dict(
+        spark,
+        "semantic",
+        lambda: spark.createDataFrame(
+            [(s, t, p, c) for (s, t, p), c in SEMANTIC_RELATIONSHIP_MAP.items()],
+            schema="sm_src_type string, sm_dst_type string, sm_pred string, canonical string",
+        ),
     )
 
 
 def direction_df(spark: SparkSession) -> DataFrame:
-    rows = [(p, s, t) for p, (s, t) in DIRECTION_SEMANTICS.items()]
-    return spark.createDataFrame(
-        rows, schema="dir_pred string, expected_src string, expected_dst string"
+    return _cached_dict(
+        spark,
+        "direction",
+        lambda: spark.createDataFrame(
+            [(p, s, t) for p, (s, t) in DIRECTION_SEMANTICS.items()],
+            schema="dir_pred string, expected_src string, expected_dst string",
+        ),
     )
 
 

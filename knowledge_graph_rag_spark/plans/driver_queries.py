@@ -571,6 +571,115 @@ def customers_with_orders_by_nation(spark, sf_dir):
     )
 
 
+@q(
+    "top_customer_per_nation",
+    """
+    SELECT nation, c_custkey, orders_cnt FROM (
+      SELECT n.n_name AS nation, c.c_custkey, count(*) AS orders_cnt,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY count(*) DESC, c.c_custkey) AS rn
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_custkey
+    ) WHERE rn = 1
+    """,
+)
+def top_customer_per_nation(spark, sf_dir):
+    """Join + grouped window rank (W1 shape over the relational side)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(F.count("*").alias("orders_cnt"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("orders_cnt"), "c_custkey")
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("nation", "c_custkey", "orders_cnt")
+    )
+
+
+@q(
+    "orders_by_year_priority",
+    """
+    SELECT year(o_orderdate) AS order_year, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 1) AS revenue
+    FROM orders GROUP BY year(o_orderdate), o_orderpriority
+    """,
+)
+def orders_by_year_priority(spark, sf_dir):
+    """Date-function grouping (year extraction) + two-key agg."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 1).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "parts_by_brand_size",
+    """
+    SELECT p_brand,
+           count(*) AS n_parts,
+           count(DISTINCT p_type) AS n_types,
+           max(p_size) AS max_size,
+           round(avg(p_retailprice), 2) AS avg_price
+    FROM part WHERE p_size >= 10 GROUP BY p_brand
+    """,
+)
+def parts_by_brand_size(spark, sf_dir):
+    """Filter pushdown + multi-aggregate over the part dimension."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 10)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("p_type").alias("n_types"),
+            F.max("p_size").alias("max_size"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@q(
+    "supplier_balance_by_region",
+    """
+    SELECT r.r_name AS region, count(*) AS n_suppliers,
+           round(sum(s.s_acctbal), 1) AS total_balance
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def supplier_balance_by_region(spark, sf_dir):
+    """supplier ⋈ nation ⋈ region snowflake rollup (both dims broadcast)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 1).alias("total_balance"),
+        )
+    )
+
+
 # === documents: text analysis / training-data ops ============================
 
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
