@@ -152,3 +152,25 @@ def test_k_hop_reach(spark):
     targets = spark.createDataFrame([("d",)], "node_id string")
     reach = {r.origin: r.hops for r in k_hop_reach(edges, "LEADS_TO", targets).collect()}
     assert reach == {"c": 1, "b": 2, "a": 3}
+
+
+def test_open_ner_mentions(spark):
+    """Opt-in open mention detection: finds out-of-gazetteer entities, never
+    re-emits closed-vocabulary ones, and feeds the fuzzy canonicalizer."""
+    from knowledge_graph_rag_spark.operators.open_ner import open_mentions
+    from knowledge_graph_rag_spark.schemas import DOCUMENTS_INTERLEAVED_SCHEMA
+    from knowledge_graph_rag_spark.operators.extract import explode_spans
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "d1", "spans": [{
+            "kind": "text",
+            "text": "Alice Johnson joined Quantum Dynamics Lab. The Zephyr "
+                    "Project uses Model X9. Acme Corp acquired Globex Corp.",
+            "media_ref": "", "offset": 0}]}],
+        schema=DOCUMENTS_INTERLEAVED_SCHEMA,
+    )
+    rows = open_mentions(explode_spans(docs)).collect()
+    labels = {r.label for r in rows}
+    assert {"Quantum Dynamics Lab", "Zephyr Project", "Model X9"} <= labels
+    assert "Acme Corp" not in labels and "Alice Johnson" not in labels
+    assert all(r.type == "Concept" and r.entity_class == "semantic" for r in rows)
