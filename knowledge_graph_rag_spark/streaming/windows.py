@@ -1,0 +1,48 @@
+"""Windowed streaming aggregations (capability superset; reference is
+batch-only, SURVEY.md §2.10).
+
+Event-time sliding-window counts with a watermark for late data — the
+standard Structured Streaming shape for the per-key rate rollups that the
+batch detectors compute over static frames (A5/A8). Kept separate from the
+batch operators: batch plans stay window-function-based; stream plans use
+event-time windows + watermark state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    key_col: str = "protocol",
+    window_duration: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-(window, key) counts + byte volume with late-data watermark.
+
+    Works on both a stream (readStream source) and a static frame (same
+    plan; Catalyst handles either), so tests can assert semantics in batch
+    and smoke the stream with availableNow.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window_duration, slide or window_duration)
+    return (
+        src.groupBy(win.alias("win"), F.col(key_col).alias("key"))
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(F.coalesce(F.col("bytes_sent"), F.lit(0))).alias("bytes"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "key",
+            "events",
+            "bytes",
+        )
+    )

@@ -162,3 +162,42 @@ def test_chunk_text_parity():
     assert text.rstrip(".").split()[-2] in chunks[-1]
     short = chunk_text("tiny", 500, 50)
     assert short == ["tiny"]
+
+
+def test_windowed_event_counts_batch_and_stream(spark, tmp_path):
+    """Windowed counts: identical semantics on a static frame and a stream
+    (availableNow) of the same rows."""
+    import json as _json
+
+    from knowledge_graph_rag_spark import synth
+    from knowledge_graph_rag_spark.schemas import NETWORK_LOG_SCHEMA
+    from knowledge_graph_rag_spark.streaming.windows import windowed_event_counts
+
+    logs = synth.network_logs_df(spark, 240).cache()
+    batch = windowed_event_counts(logs, window_duration="2 minutes").collect()
+    batch_map = {(str(r.window_start), r.key): (r.events, r.bytes) for r in batch}
+    assert batch_map and sum(e for e, _ in batch_map.values()) == logs.count()
+
+    # same rows through a file stream
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    pdf = logs.toPandas()
+    with open(in_dir / "logs.json", "w") as f:
+        for rec in pdf.to_dict("records"):
+            rec["timestamp"] = rec["timestamp"].isoformat()
+            f.write(_json.dumps({k: v for k, v in rec.items() if v == v or v is None}) + "\n")
+    stream = spark.readStream.schema(NETWORK_LOG_SCHEMA).json(str(in_dir))
+    out = windowed_event_counts(stream, window_duration="2 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_map = {
+        (str(r.window_start), r.key): (r.events, r.bytes)
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert stream_map == batch_map
