@@ -129,3 +129,38 @@ def test_ml_feature_frame_native(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     row = feats.first()
     assert 0.0 <= row.f_port_rarity <= 0.8 and 0.0 <= row.f_time_score <= 1.0
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Bucketed+sorted tables on the join key → co-located SortMergeJoin with
+    ZERO Exchange operators (the J1/J2 shuffle disappears)."""
+    import re
+
+    from knowledge_graph_rag_spark import synth
+    from knowledge_graph_rag_spark.operators import bucketing as B
+    from knowledge_graph_rag_spark.operators import graph_build as GB
+    from knowledge_graph_rag_spark.operators import network as N
+
+    conns = N.score_connections(N.parse_logs(synth.network_logs_df(spark, 300)))
+    nodes = GB.telemetry_nodes(conns, "g")
+    edges = GB.telemetry_edges(conns, "g")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        B.write_bucketed(
+            nodes.select("node_id", "label", "type"),
+            "b_nodes", ["node_id"], 8, path=str(tmp_path / "b_nodes"),
+        )
+        B.write_bucketed(
+            edges.select("src", "dst", "rel_type"),
+            "b_edges", ["src"], 8, path=str(tmp_path / "b_edges"),
+        )
+        joined = B.colocated_join(spark, "b_edges", "b_nodes", "src", "node_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert not re.findall(r"\(\d+\) Exchange\b", plan), plan[:1500]
+        # and it actually runs
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_nodes")
+        spark.sql("DROP TABLE IF EXISTS b_edges")
