@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram, RegexTokenizer
+from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T

@@ -74,7 +74,6 @@ def ml_scores(scored_conns: DataFrame, sample_rows: int = 10000,
     if not SKLEARN_AVAILABLE:
         raise ImportError("sklearn unavailable — use rule-based score_connections")
 
-    import numpy as np
     import pandas as pd
     from sklearn.ensemble import IsolationForest
     from sklearn.preprocessing import StandardScaler
