@@ -11,9 +11,11 @@ Each iteration is one shuffle (join labels onto the symmetrized edge list +
 groupBy) and localCheckpoints to cut lineage so plans stay bounded
 (SURVEY.md §7 "what's hard" a). Converges in O(component diameter)
 iterations — alias/similarity clusters are star-like and shallow (2-3 rounds).
-For web-scale graphs with long chains swap in large-star/small-star; the loop
-structure (checkpointed DataFrame iteration with an early-stop count) is the
-same.
+
+For web-scale graphs with long chains use
+:func:`connected_components_alternating` (large-star/small-star, O(log² n)
+rounds on any shape); both produce identical partitions — cross-checked in
+tests/test_merge_link_cc.py::test_cc_implementations_agree.
 """
 
 from __future__ import annotations
@@ -68,6 +70,84 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
             break
 
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_alternating(
+    edges: DataFrame, max_iterations: int = 30
+) -> DataFrame:
+    """Large-star / small-star alternating connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    The web-scale alternative to min-label propagation: converges in
+    O(log² n) rounds on ANY graph shape (label propagation needs O(diameter)
+    rounds, which bites on long chains). Same output contract:
+    (node, component=min id). Both implementations are cross-checked in
+    tests/test_merge_link_cc.py::test_cc_implementations_agree.
+
+    large-star: every node points its larger neighbors at the minimum of its
+    inclusive neighborhood; small-star: every node points its smaller-or-equal
+    neighbors (and itself) at their minimum. Each round is two shuffles and a
+    localCheckpoint to keep the plan bounded.
+    """
+    # canonical undirected representation: (u=max, v=min) pairs
+    def _canon(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    cur = _canon(edges).localCheckpoint(eager=True)
+    if cur.isEmpty():
+        return cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+
+    def _fingerprint(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row.n, int(row.h))
+
+    prev_fp = _fingerprint(cur)
+    for _ in range(max_iterations):
+        # large-star over the UNDIRECTED neighborhood: every strictly-larger
+        # neighbor of u points at min(Γ⁺(u))
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nbr_min = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = _canon(
+            sym.join(nbr_min, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star over the (max→min) orientation: u's smaller-or-equal
+        # neighbors (and u) point at their minimum
+        small_min = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = _canon(
+            large.join(small_min, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(small_min.select("u", F.col("m").alias("v")))
+        ).localCheckpoint(eager=True)
+        fp = _fingerprint(small)
+        cur = small
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    assign = cur.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("node"), "component"
+    )
+    roots = (
+        assign.select(F.col("component").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    return assign.unionByName(roots).dropDuplicates(["node"])
 
 
 def canonical_map_from_links(link_pairs: DataFrame) -> DataFrame:

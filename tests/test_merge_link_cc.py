@@ -119,3 +119,34 @@ def test_canonical_map_from_links(spark):
     )
     cmap = {r.surface: r.canonical_surface for r in C.canonical_map_from_links(pairs).collect()}
     assert len(set(cmap.values())) == 1  # one cluster, one representative
+
+
+def test_cc_implementations_agree(spark):
+    """Label propagation and alternating large-star/small-star produce the
+    same partition (same min-id representative per component) on seeded
+    random graphs of several shapes."""
+    import random
+
+    for seed, n_nodes, n_edges in ((1, 20, 15), (2, 40, 60), (3, 30, 8)):
+        rng = random.Random(seed)
+        pairs = [
+            (f"n{rng.randrange(n_nodes):03d}", f"n{rng.randrange(n_nodes):03d}")
+            for _ in range(n_edges)
+        ]
+        edges = spark.createDataFrame(pairs, "u string, v string")
+        a = {r.node: r.component for r in C.connected_components(edges).collect()}
+        b = {
+            r.node: r.component
+            for r in C.connected_components_alternating(edges).collect()
+        }
+        assert a == b, (seed, {k: (a.get(k), b.get(k)) for k in set(a) | set(b)
+                               if a.get(k) != b.get(k)})
+
+
+def test_cc_alternating_chain(spark):
+    n = 14
+    edges = spark.createDataFrame(
+        [(f"c{i:02d}", f"c{i+1:02d}") for i in range(n)], "u string, v string"
+    )
+    cc = C.connected_components_alternating(edges).collect()
+    assert {r.component for r in cc} == {"c00"} and len(cc) == n + 1
