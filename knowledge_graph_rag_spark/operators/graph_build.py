@@ -169,6 +169,7 @@ def telemetry_edges(scored_conns: DataFrame, graph_id: str) -> DataFrame:
         F.col("dest_port").alias("port"),
         (F.col("bytes_sent") + F.col("bytes_received")).alias("bytes"),
         "is_anomaly",
+        F.col("timestamp").alias("ts"),  # edge property (network_parser.py:249)
     )
     port_edges = scored_conns.select(
         F.lit(graph_id).alias("graph_id"),

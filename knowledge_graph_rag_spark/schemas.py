@@ -129,6 +129,7 @@ EDGES_SCHEMA = T.StructType(
         T.StructField("port", T.IntegerType(), True),
         T.StructField("bytes", T.LongType(), True),
         T.StructField("is_anomaly", T.BooleanType(), True),
+        T.StructField("ts", T.TimestampType(), True),
         T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
     ]
 )

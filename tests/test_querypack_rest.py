@@ -96,3 +96,44 @@ def test_anomalies_severity_ladder(graph):
             "Port Scanning + High Volume", "Multi-port Access",
             "High Connection Volume", "Unusual Activity",
         }
+
+
+def test_docpack_queries(spark, graph):
+    """Documented query pack (docs/CYPHER_QUERIES.md shapes)."""
+    from knowledge_graph_rag_spark.operators import docpack as DP
+
+    nodes, edges = graph
+
+    # anomalous external connections: the exfiltrator scores ≥0.75 (3+ rules?)
+    rows = DP.anomalous_external_connections(nodes, edges, score_threshold=0.2).collect()
+    assert rows
+    ips = {r.suspicious_ip for r in rows}
+    assert synth.EXFIL_IP in ips
+    ex = next(r for r in rows if r.suspicious_ip == synth.EXFIL_IP)
+    assert synth.EXFIL_DST in ex.external_destinations
+
+    # attack surface: MALWARE_PORT_IP connects to 203.0.113.50 (1 host → filtered);
+    # baseline traffic gives some external IP >1 internal peers
+    surf = DP.attack_surface(nodes, edges).collect()
+    assert all(r.internal_hosts_connected > 1 for r in surf)
+    assert all(r.risk_status in ("suspicious", "normal") for r in surf)
+
+    # timeline: ordered, priorities valid
+    tl = DP.timeline(nodes, edges, limit=50).collect()
+    assert tl == sorted(tl, key=lambda r: (r.ts, r.source or "", r.destination or ""))
+    assert {r.priority for r in tl} <= {"critical", "high", "medium"}
+
+
+def test_lateral_movement_trace(spark):
+    from knowledge_graph_rag_spark import synth as S
+    from knowledge_graph_rag_spark.operators import docpack as DP
+    from knowledge_graph_rag_spark.operators import extract as X
+
+    raw = X.extract_raw(X.explode_spans(S.documents_df(spark, 200)))
+    nodes = GB.semantic_nodes(X.resolve_mentions(spark, raw), "g")
+    edges = GB.semantic_edges(X.resolve_triples(spark, raw), "g")
+    rows = DP.lateral_movement_trace(nodes, edges).collect()
+    # grammar plants CredentialAccess→LateralMovement LEADS_TO sentences
+    assert rows
+    assert all(r.initial_compromise == "Credential Dump Epsilon" for r in rows)
+    assert all(r.movement_type == "Lateral Hop Zeta" for r in rows)
