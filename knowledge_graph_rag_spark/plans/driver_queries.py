@@ -1116,6 +1116,14 @@ def graph_anomaly_detect_all(spark, sf_dir):
     return D.detect_all(nodes, edges)
 
 
+def docpack_attack_surface(spark, sf_dir):
+    """Documented attack-surface query (CYPHER_QUERIES.md:196-216, rows-only)."""
+    from ..operators import docpack as DP
+
+    nodes, edges = _telemetry_graph(spark)
+    return DP.attack_surface(nodes, edges)
+
+
 _ROWS_ONLY = {
     "kg_triples": kg_triples,
     "kg_node_summary": kg_node_summary,
@@ -1124,6 +1132,7 @@ _ROWS_ONLY = {
     "template_exploit_preparation": template_exploit_preparation,
     "template_network_topology": template_network_topology,
     "graph_anomaly_detect_all": graph_anomaly_detect_all,
+    "docpack_attack_surface": docpack_attack_surface,
 }
 
 
