@@ -680,6 +680,86 @@ def supplier_balance_by_region(spark, sf_dir):
     )
 
 
+@q(
+    "events_rollup",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(CAST(hour(ts) AS VARCHAR), '(all)') AS hour_of_day,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY ROLLUP (event_type, hour(ts))
+    """,
+)
+def events_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (engine capability beyond the reference — the
+    survey notes the reference has none, §2.5 footer)."""
+    e = _t(spark, sf_dir, "events").withColumn("hour_of_day", F.hour("ts"))
+    return (
+        e.rollup("event_type", "hour_of_day")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("hour_of_day").cast("string"), F.lit("(all)")).alias(
+                "hour_of_day"
+            ),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@q(
+    "events_cube_compact",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(CAST(user_id % 4 AS VARCHAR), '(all)') AS user_bucket,
+           count(*) AS n
+    FROM events GROUP BY CUBE (event_type, user_id % 4)
+    """,
+)
+def events_cube_compact(spark, sf_dir):
+    """CUBE over (event_type, user bucket)."""
+    e = _t(spark, sf_dir, "events").withColumn("user_bucket", F.col("user_id") % 4)
+    return (
+        e.cube("event_type", "user_bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("user_bucket").cast("string"), F.lit("(all)")).alias(
+                "user_bucket"
+            ),
+            "n",
+        )
+    )
+
+
+@q(
+    "events_pivot_counts",
+    """
+    SELECT user_id % 10 AS user_decile,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def events_pivot_counts(spark, sf_dir):
+    """Pivot (conditional-sum form — the A18 stats-endpoint idiom,
+    network.py:309-431) via the native pivot operator."""
+    e = _t(spark, sf_dir, "events").withColumn("user_decile", F.col("user_id") % 10)
+    out = (
+        e.groupBy("user_decile")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    return out.select(
+        "user_decile",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "view", "purchase", "signup", "error")],
+    )
+
+
 # === documents: text analysis / training-data ops ============================
 
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
