@@ -186,14 +186,20 @@ def detect_data_exfiltration(conns: DataFrame, byte_threshold: int = 100_000_000
     )
 
 
-def ip_statistics(conns: DataFrame) -> DataFrame:
+def ip_statistics(conns: DataFrame, approximate: bool = False) -> DataFrame:
     """Per-IP traffic stats (network_parser.py:136-179, A1): outgoing /
     incoming counts, distinct dests/ports, bytes — two partial aggs unioned
-    then re-agged (map-side combine on both branches)."""
+    then re-agged (map-side combine on both branches).
+
+    ``approximate=True`` swaps exact countDistinct for HyperLogLog
+    (approx_count_distinct, default rsd 5%) — the 100 TB path: exact distinct
+    counts need a per-key dedup shuffle of every (ip, dest) pair; HLL sketches
+    merge map-side in constant space."""
+    cd = F.approx_count_distinct if approximate else F.countDistinct
     out = conns.groupBy(F.col("source_ip").alias("ip")).agg(
         F.count("*").alias("outgoing_connections"),
-        F.countDistinct("dest_ip").alias("unique_destinations"),
-        F.countDistinct("dest_port").alias("unique_ports_accessed"),
+        cd("dest_ip").alias("unique_destinations"),
+        cd("dest_port").alias("unique_ports_accessed"),
         F.sum("bytes_sent").alias("total_bytes_sent"),
         F.lit(0).cast("long").alias("incoming_connections"),
     )

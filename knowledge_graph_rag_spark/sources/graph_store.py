@@ -67,13 +67,20 @@ class GraphStore:
         return os.path.join(self._table_dir(table), f"snapshot={snap}")
 
     def write_snapshot(self, table: str, df: DataFrame,
-                       partition_by: tuple[str, ...] = ("graph_id",)) -> int:
+                       partition_by: tuple[str, ...] = ("graph_id",),
+                       sort_within: tuple[str, ...] = ()) -> int:
         """Commit a new snapshot; returns the snapshot id. The _COMMITTED
         marker is written only after the parquet job succeeds, so partial
-        writes never become visible (resume-safe)."""
+        writes never become visible (resume-safe).
+
+        ``sort_within`` clusters rows inside each file (the poor man's
+        Z-order): sorting nodes by node_id / edges by src tightens parquet
+        min-max stats so point lookups and range scans skip row groups."""
         cur = self.current_snapshot(table)
         snap = (cur + 1) if cur is not None else 0
         path = self._snapshot_path(table, snap)
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -98,11 +105,12 @@ class GraphStore:
         previous content plus the new graph_id partitions (replacing them if
         re-run — idempotent)."""
         new_ids = [r.graph_id for r in nodes.select("graph_id").distinct().collect()]
+        sort_cols = {"nodes": ("node_id",), "edges": ("src", "dst")}
         for table, df in (("nodes", nodes), ("edges", edges)):
             if self.exists(table):
                 old = self.read(table).filter(~F.col("graph_id").isin(new_ids))
                 df = old.unionByName(df, allowMissingColumns=True)
-            self.write_snapshot(table, df)
+            self.write_snapshot(table, df, sort_within=sort_cols[table])
         return (self.current_snapshot("nodes"), self.current_snapshot("edges"))
 
     def store_graph_merge(self, nodes: DataFrame, edges: DataFrame,

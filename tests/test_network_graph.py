@@ -179,3 +179,18 @@ def test_suspicious_port_detector_a9(graph):
     r = by_ent[(synth.MALWARE_PORT_IP, 4444)]
     assert r.port_description == "Metasploit default"
     assert r.occurrences == 4 and r.confidence_score == 0.85 and r.severity == "high"
+
+
+def test_ip_statistics_approximate(graph):
+    """HLL variant of A1: within the 5% default rsd of exact counts."""
+    conns, _, _ = graph
+    exact = {r.ip: r for r in N.ip_statistics(conns).collect()}
+    approx = {r.ip: r for r in N.ip_statistics(conns, approximate=True).collect()}
+    assert set(exact) == set(approx)
+    for ip, e in exact.items():
+        a = approx[ip]
+        assert a.outgoing_connections == e.outgoing_connections  # counts exact
+        if e.unique_destinations >= 5:
+            assert abs(a.unique_destinations - e.unique_destinations) <= max(
+                2, 0.1 * e.unique_destinations
+            )

