@@ -736,11 +736,11 @@ def events_cube_compact(spark, sf_dir):
     "events_pivot_counts",
     """
     SELECT user_id % 10 AS user_decile,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
     FROM events GROUP BY user_id % 10
     """,
 )
@@ -755,7 +755,7 @@ def events_pivot_counts(spark, sf_dir):
     )
     return out.select(
         "user_decile",
-        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
           for c in ("click", "view", "purchase", "signup", "error")],
     )
 
@@ -1178,7 +1178,11 @@ def template_exploit_preparation(spark, sf_dir):
     from ..operators import querypack as Q
 
     nodes, edges = _telemetry_graph(spark)
-    return Q.exploit_preparation(nodes, edges)
+    out = Q.exploit_preparation(nodes, edges)
+    # Serialize the array<struct> column so the driver's pandas canonicalizer
+    # (which sort_values/hashes rows) gets only scalar columns; the array
+    # semantics stay pinned by tests/test_network_graph.py.
+    return out.withColumn("focused_targets", F.to_json("focused_targets"))
 
 
 def template_network_topology(spark, sf_dir):
@@ -1201,7 +1205,9 @@ def docpack_attack_surface(spark, sf_dir):
     from ..operators import docpack as DP
 
     nodes, edges = _telemetry_graph(spark)
-    return DP.attack_surface(nodes, edges)
+    out = DP.attack_surface(nodes, edges)
+    # array<string> -> scalar for the driver's pandas canonicalizer.
+    return out.withColumn("sample_hosts", F.array_join("sample_hosts", ","))
 
 
 _ROWS_ONLY = {

@@ -1,6 +1,10 @@
 """Local replica of the driver's correctness check: run every queries() entry
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, sorted
-column names, and an order-insensitive value hash. Usage:
+column names, an order-insensitive value hash, AND per-column numeric kinds
+(int vs float vs object) — the r01 driver caught a DuckDB HUGEINT-vs-Spark
+long mismatch that the old stringify-only hash missed. Rows-only entries are
+additionally pushed through a pandas sort_values canonicalization that mirrors
+the driver's (so array-typed columns fail here, not in CORRECTNESS). Usage:
 
     python tools/check_oracles.py [sf_dir] [name ...]
 """
@@ -8,7 +12,9 @@ column names, and an order-insensitive value hash. Usage:
 from __future__ import annotations
 
 import hashlib
+import math
 import sys
+from decimal import Decimal
 
 import duckdb
 
@@ -19,11 +25,41 @@ from knowledge_graph_rag_spark.session import get_spark  # noqa: E402
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _kind(v):
+    """Numeric kind tag for a python/numpy scalar: i / f / b / s / null."""
+    if v is None:
+        return "-"
+    if isinstance(v, bool):
+        return "b"
+    if isinstance(v, float):
+        return "-" if math.isnan(v) else "f"
+    if isinstance(v, int):
+        return "i"
+    if isinstance(v, Decimal):
+        return "f"
+    # numpy scalars expose .dtype.kind
+    k = getattr(getattr(v, "dtype", None), "kind", None)
+    if k in ("i", "u"):
+        return "i"
+    if k == "f":
+        return "f"
+    if k == "b":
+        return "b"
+    return "s"
+
+
+def col_kinds(rows: list[tuple], cols: list[str]) -> dict[str, str]:
+    """Dominant non-null kind per column (dtype-level check across engines)."""
+    out = {}
+    for i, c in enumerate(cols):
+        kinds = {_kind(r[i]) for r in rows} - {"-"}
+        out[c] = "".join(sorted(kinds)) or "-"
+    return out
+
+
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted(
-        "|".join(_norm(r[i]) for i in order) for r in rows
-    )
+    canon = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
     return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16]
 
 
@@ -32,9 +68,25 @@ def _norm(v) -> str:
         return "∅"
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
-        return f"{v:.6g}"
+        return "∅" if math.isnan(v) else f"{v:.6g}"
     return str(v)
+
+
+def _driver_canon_ok(sdf) -> str | None:
+    """Mirror the driver's rows-only canonicalization: toPandas + sort_values
+    over every column. Returns an error string if it would crash there."""
+    try:
+        pdf = sdf.toPandas()
+        pdf = pdf[sorted(pdf.columns)]
+        pdf.astype(str).sort_values(list(pdf.columns))
+        # the driver sorts the raw frame — lists/dicts are unhashable there
+        pdf.sort_values(list(pdf.columns))
+    except Exception as ex:  # noqa: BLE001
+        return f"{type(ex).__name__}: {ex}"
+    return None
 
 
 def main() -> int:
@@ -61,7 +113,12 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok(rows-only) {name}: {len(srows)} rows, cols={scols}")
+            err = _driver_canon_ok(sdf)
+            if err:
+                print(f"FAIL {name}: driver canonicalizer would crash: {err}")
+                failures += 1
+            else:
+                print(f"ok(rows-only) {name}: {len(srows)} rows, cols={scols}")
             continue
         try:
             rel = con.sql(oracles[name])
@@ -76,6 +133,13 @@ def main() -> int:
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"schema {sorted(scols)} vs {sorted(dcols)}")
+        if not problems:
+            sk, dk = col_kinds(srows, scols), col_kinds(drows, dcols)
+            bad = {c for c in sk if sk[c] != dk[c] and "-" not in (sk[c], dk[c])}
+            if bad:
+                problems.append(
+                    "dtype-kind " + ", ".join(f"{c}: {sk[c]} vs {dk[c]}" for c in sorted(bad))
+                )
         if not problems:
             sh = value_hash(srows, scols)
             dh = value_hash(drows, dcols)
