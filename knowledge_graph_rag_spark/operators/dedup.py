@@ -75,18 +75,43 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "id", text_col: str = "text",
-    n: int = 3, threshold: float = 0.8,
+    n: int = 3, threshold: float = 0.8, max_df: int = 100,
 ) -> DataFrame:
-    """Exact pairwise Jaccard over word n-gram shingle sets via shingle join.
-    O(sum of shingle-bucket sizes²) — the exact verifier; use minhash_lsh_pairs
-    to pre-filter candidates at scale."""
+    """Exact pairwise Jaccard over word n-gram shingle sets.
+
+    Scale shape: shingles with document frequency > ``max_df`` are dropped
+    from BOTH the per-doc set sizes and the pair generation — the result is
+    the exact Jaccard of the *filtered* shingle sets. Without the cap, one
+    stop-phrase shingle with df=k costs k² join rows (O(Σ df²) blow-up);
+    with it the worst bucket is max_df² and the df count itself is a
+    map-side-combined agg, so no hot key ever materializes unbounded state.
+    Pair generation is bucket-explode (sorted collect_set per shingle →
+    native combination expansion), not a self-join: one shuffle fewer and
+    id_a < id_b holds by construction."""
     sh = word_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    dfs = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh_ok = (
+        sh.join(dfs.filter(F.col("df") <= max_df), "shingle", "left_semi")
+    )
+    sizes = sh_ok.groupBy("id").agg(F.count("*").alias("sz"))
+    buckets = (
+        sh_ok.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("isect"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
@@ -99,20 +124,32 @@ def ngram_jaccard_pairs(
     )
 
 
+#: HashingTF space for MinHash features — fixed, so NO driver-side vocabulary
+#: is ever built (CountVectorizer.fit would materialize the full shingle
+#: vocabulary on the driver: billions of terms at 100 TB).
+MINHASH_NUM_FEATURES = 1 << 20
+
+
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "id", text_col: str = "text",
     jaccard_max_dist: float = 0.3, num_hash_tables: int = 12,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs over word-3-gram shingles (Spark ML
-    approxSimilarityJoin — banding + bucket join, all JVM)."""
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    approxSimilarityJoin — banding + bucket join, all JVM).
+
+    Features come from HashingTF (stateless fixed 2^20 hash space, binary
+    presence), not CountVectorizer: no .fit pass, no driver-side vocabulary,
+    so the executor/driver memory is independent of corpus vocabulary size."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
 
     sh = word_shingles(df, id_col, text_col, 3).groupBy("id").agg(
         F.collect_list("shingle").alias("shingles")
     )
-    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
-    model = cv.fit(sh)
-    feats = model.transform(sh)
+    ht = HashingTF(
+        inputCol="shingles", outputCol="features",
+        numFeatures=MINHASH_NUM_FEATURES, binary=True,
+    )
+    feats = ht.transform(sh)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
     ).fit(feats)
@@ -158,15 +195,30 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return texts.map(sim)
 
 
+def _cap_band_buckets(bands: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop band buckets with more than ``cap`` members. Empty / near-empty
+    docs all hash to the same value (sh=0) and would otherwise form one
+    quadratic bucket (1M empty docs → 10^12 candidate rows in ONE task).
+    The df count is a map-side-combined agg — no hot key materializes.
+    Recall tradeoff: a pair whose only shared band was capped is missed;
+    identical docs belong to the exact-dedup pass anyway."""
+    big = bands.groupBy(*keys).agg(F.count("*").alias("bn")).filter(
+        F.col("bn") > cap
+    )
+    return bands.join(big.select(*keys), keys, "left_anti")
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str = "id", text_col: str = "text",
-    max_hamming: int = 3,
+    max_hamming: int = 3, band_cap: int = 256,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
     Scale path: band the 64-bit hash into four 16-bit keys — any pair within
     Hamming 3 shares at least one identical band (pigeonhole), so candidate
-    generation is 4 equi-joins, then a native bit_count verify. No O(n²)."""
+    generation is 4 equi-joins, then a native bit_count verify. No O(n²).
+    Band buckets larger than ``band_cap`` are dropped (see
+    _cap_band_buckets) so degenerate hashes can't go quadratic."""
     hashed = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
     ).cache()
@@ -184,6 +236,7 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = _cap_band_buckets(bands, ["band", "key"], band_cap)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["band", "key"])
@@ -202,10 +255,11 @@ def simhash_pairs(
 
 def embedding_cosine_pairs(
     df: DataFrame, id_col: str = "id", text_col: str = "text",
-    threshold: float = 0.92,
+    threshold: float = 0.92, band_cap: int = 256,
 ) -> DataFrame:
     """Embedding near-dup: feature-hash embedding + SimHash-banded blocking
-    (reuses the simhash bands as the coarse blocker), cosine verify."""
+    (reuses the simhash bands as the coarse blocker), cosine verify.
+    Band buckets above ``band_cap`` are dropped (see _cap_band_buckets)."""
     emb = df.select(
         F.col(id_col).alias("id"),
         embed_surfaces(F.col(text_col)).alias("emb"),
@@ -216,15 +270,21 @@ def embedding_cosine_pairs(
         F.explode(
             F.array(
                 *[
-                    F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sh", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
                     for i in range(4)
                 ]
             )
-        ).alias("key"),
-    )
+        ).alias("bk"),
+    ).select("id", "emb", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = _cap_band_buckets(bands, ["band", "key"], band_cap)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(b, "key")
+        a.join(b, ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),

@@ -957,7 +957,7 @@ def doc_fingerprints(spark, sf_dir):
 @q(
     "ngram_jaccard_pairs",
     """
-    WITH shingles AS (
+    WITH shingles0 AS (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -968,6 +968,10 @@ def doc_fingerprints(spark, sf_dir):
               FROM documents)
         WHERE len(w) >= 3
       )
+    ), shingles AS (
+      SELECT doc_id, shingle FROM shingles0
+      WHERE shingle IN (SELECT shingle FROM shingles0
+                        GROUP BY shingle HAVING count(*) <= 100)
     ), sizes AS (
       SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
     ), inter AS (
@@ -985,8 +989,11 @@ def doc_fingerprints(spark, sf_dir):
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    """Near-dup detection: word-3-gram shingle sets → pairwise Jaccard via
-    shingle-join (the exact counterpart the MinHash-LSH path approximates)."""
+    """Near-dup detection: word-3-gram shingle sets → pairwise Jaccard over
+    df-capped shingles (df ≤ 100 — one stop-phrase shingle with df=k would
+    cost k² candidate rows; the cap bounds the worst bucket, mirrored in the
+    oracle's HAVING). Pair generation is bucket-explode (collect_set per
+    shingle → native combination expansion), not a self-join."""
     docs = _t(spark, sf_dir, "documents")
     w = _tokens(F.col("text"))
     shingles = (
@@ -1005,13 +1012,30 @@ def ngram_jaccard_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    buckets = (
+        shingles.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= 100)
+    )
+    sizes = (
+        buckets.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("isect"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))

@@ -54,6 +54,43 @@ def test_embedding_cosine_pairs(corpus):
     assert (1, 2) in pairs
 
 
+def test_minhash_no_driver_vocab():
+    """minhash_lsh_pairs must not build a driver-side vocabulary
+    (CountVectorizer.fit = unbounded driver memory at corpus scale)."""
+    import inspect
+
+    src = inspect.getsource(DD.minhash_lsh_pairs)
+    assert "CountVectorizer(" not in src  # docstring mentions it; no call
+    assert "HashingTF(" in src
+    assert DD.MINHASH_NUM_FEATURES == 1 << 20
+
+
+def test_simhash_band_cap(spark):
+    """1k empty docs all simhash to 0 — without the band cap they form one
+    quadratic bucket (~2M candidate rows in one task). With it, the
+    degenerate bucket is dropped while normal near-dup pairs survive."""
+    rows = [(i, "") for i in range(1000)] + [
+        (2001, "the quick brown fox jumps over the lazy dog near the river"),
+        (2002, "the quick brown fox jumps over the lazy dog near the rivers"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    pairs = {(r.id_a, r.id_b) for r in DD.simhash_pairs(df, max_hamming=6).collect()}
+    assert (2001, 2002) in pairs
+    assert not any(a < 1000 and b < 1000 for a, b in pairs)
+
+
+def test_ngram_jaccard_df_cap(spark):
+    """A shingle shared by every doc (df > max_df) is excluded from both the
+    sizes and the intersection — filtered-set Jaccard on both sides."""
+    common = "alpha beta gamma"  # one shared shingle in every doc
+    rows = [(i, f"{common} unique{i} tail{i} end{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    # with the shared shingle capped out, no pair shares anything
+    assert DD.ngram_jaccard_pairs(df, threshold=0.01, max_df=5).count() == 0
+    # without the cap the shared shingle makes every pair similar
+    assert DD.ngram_jaccard_pairs(df, threshold=0.01, max_df=100).count() == 45
+
+
 def test_brute_force_topk(spark, corpus):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3)
