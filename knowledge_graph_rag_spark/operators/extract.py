@@ -248,14 +248,16 @@ def extract_raw(spans: DataFrame) -> DataFrame:
 # --- dictionary DataFrames (broadcast sides) --------------------------------
 
 
-# Dictionary frames are cached per live session (keyed by session id):
-# rebuilding + re-broadcasting ~350 constant rows on every resolve call costs
-# a fixed few hundred ms per job — pure Amdahl overhead at high parallelism.
-_dict_cache: dict[tuple[int, str], DataFrame] = {}
+# Dictionary frames are cached per live session (keyed by Spark applicationId,
+# NOT id(spark) — CPython can reuse a dead session object's address, handing
+# back DataFrames bound to a stopped SparkContext): rebuilding +
+# re-broadcasting ~350 constant rows on every resolve call costs a fixed few
+# hundred ms per job — pure Amdahl overhead at high parallelism.
+_dict_cache: dict[tuple[str, str], DataFrame] = {}
 
 
 def _cached_dict(spark: SparkSession, key: str, build) -> DataFrame:
-    cache_key = (id(spark), key)
+    cache_key = (spark.sparkContext.applicationId, key)
     if cache_key not in _dict_cache:
         _dict_cache[cache_key] = build().cache()
     return _dict_cache[cache_key]

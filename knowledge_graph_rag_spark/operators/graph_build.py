@@ -38,14 +38,22 @@ from .extract import edge_class_col
 
 _NODE_COLS = [f.name for f in NODES_SCHEMA.fields]
 _EDGE_COLS = [f.name for f in EDGES_SCHEMA.fields]
+_SCHEMA_TYPES = {
+    f.name: f.dataType
+    for schema in (NODES_SCHEMA, EDGES_SCHEMA)
+    for f in schema.fields
+}
 
 
 def _conform(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Project to the canonical column set, adding missing columns as nulls."""
+    """Project to the canonical column set; missing columns become TYPED
+    nulls (an untyped NullType column poisons parquet schema merging across
+    independently-written graph_id partitions: VOID vs BOOLEAN)."""
     existing = set(df.columns)
     return df.select(
         *[
-            F.col(c) if c in existing else F.lit(None).alias(c)
+            F.col(c) if c in existing
+            else F.lit(None).cast(_SCHEMA_TYPES[c]).alias(c)
             for c in cols
         ]
     )
@@ -277,7 +285,7 @@ def merge_graphs(
     )
     unioned = sem.unionByName(tel).withColumn(
         "link_key", normalize_key(F.col("label"), F.col("type"))
-    )
+    ).cache()  # shared by merged_nodes, idmap, and the A20 side counts
 
     ident = F.struct(
         "node_id", "label", "type", "entity_class", "is_internal", "is_attacker",
@@ -383,12 +391,25 @@ def merge_graphs(
     )
     merged_edges = _conform(merged_edges, _EDGE_COLS)
 
-    # A20 merge statistics → metrics rows
-    sem_n = semantic_nodes_df.count()
-    tel_n = telemetry_nodes_df.count()
-    merged_n = merged_nodes.count()
+    # A20 merge statistics → metrics rows. Three actions over CACHED frames
+    # (was five uncached full-plan recomputes — at 100× that re-ran the
+    # heaviest shuffle in the job up to 3×): side counts fold into one agg
+    # over the cached union; merged count + correlation count fold into one
+    # agg over cached merged_nodes.
+    merged_nodes = merged_nodes.cache()
+    merged_edges = merged_edges.cache()
+    sides = unioned.agg(
+        F.sum(F.when(F.col("side") == "semantic", 1).otherwise(0)).alias("s"),
+        F.sum(F.when(F.col("side") == "telemetry", 1).otherwise(0)).alias("t"),
+    ).first()
+    sem_n, tel_n = int(sides["s"] or 0), int(sides["t"] or 0)
+    nrow = merged_nodes.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.size("sources") > 1, 1).otherwise(0)).alias("corr"),
+    ).first()
+    merged_n, correlations = int(nrow["n"]), int(nrow["corr"] or 0)
     merged_e = merged_edges.count()
-    correlations = merged_nodes.filter(F.size("sources") > 1).count()
+    unioned.unpersist()
     spark = semantic_nodes_df.sparkSession
     stats = spark.createDataFrame(
         [

@@ -60,27 +60,52 @@ def attack_distribution(nodes: DataFrame) -> DataFrame:
 
 def data_quality(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """A19: invalid labels + orphaned ports (no incoming USES_PORT) + dangling
-    edge endpoints, as one row. Orphans via left anti join."""
-    null_labels = nodes.filter(
-        F.col("label").isNull() | (F.trim(F.col("label")) == "")
-    ).count()
-    used_ports = edges.filter(F.col("rel_type") == "USES_PORT").select(
-        F.col("dst").alias("node_id")
+    edge endpoints, as one row.
+
+    Single declarative plan with ZERO driver actions (was four separate
+    counts, each recomputing its inputs): the anti-join counts become
+    left-join-is-null conditional sums, the two one-row aggs cross-join.
+    The caller triggers exactly one job."""
+    used_ports = (
+        edges.filter(F.col("rel_type") == "USES_PORT")
+        .select(F.col("dst").alias("node_id"))
+        .distinct()
+        .withColumn("_used", F.lit(1))
     )
-    orphan_ports = (
-        nodes.filter(F.col("type") == "Port")
-        .join(used_ports, "node_id", "left_anti")
-        .count()
+    node_flags = nodes.join(used_ports, "node_id", "left").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("label").isNull() | (F.trim(F.col("label")) == ""), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("invalid_labels"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("type") == "Port") & F.col("_used").isNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("orphaned_ports"),
     )
-    node_ids = nodes.select("node_id")
-    dangling = (
-        edges.join(node_ids.withColumnRenamed("node_id", "src"), "src", "left_anti")
-        .count()
-        + edges.join(node_ids.withColumnRenamed("node_id", "dst"), "dst", "left_anti")
-        .count()
+    node_ids = nodes.select("node_id").distinct()
+    src_ids = node_ids.select(F.col("node_id").alias("src")).withColumn(
+        "_src_ok", F.lit(1)
     )
-    spark = nodes.sparkSession
-    return spark.createDataFrame(
-        [(null_labels, orphan_ports, dangling)],
-        "invalid_labels long, orphaned_ports long, dangling_edges long",
+    dst_ids = node_ids.select(F.col("node_id").alias("dst")).withColumn(
+        "_dst_ok", F.lit(1)
     )
+    edge_flags = (
+        edges.join(src_ids, "src", "left")
+        .join(dst_ids, "dst", "left")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_src_ok").isNull(), 1).otherwise(0))
+                + F.sum(F.when(F.col("_dst_ok").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("dangling_edges")
+        )
+    )
+    return node_flags.crossJoin(edge_flags)

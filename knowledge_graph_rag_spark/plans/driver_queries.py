@@ -391,14 +391,18 @@ def active_users_union(spark, sf_dir):
 @q(
     "users_without_big_purchase",
     """
-    SELECT DISTINCT user_id FROM events
-    WHERE user_id NOT IN (
-      SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 400
+    SELECT DISTINCT user_id FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = e.user_id
+        AND p.event_type = 'purchase' AND p.value > 400
     )
     """,
 )
 def users_without_big_purchase(spark, sf_dir):
-    """A19 orphan shape: anti join."""
+    """A19 orphan shape: anti join. Oracle uses NOT EXISTS (not NOT IN, which
+    yields zero rows if any subquery user_id is NULL) so both engines share
+    anti-join null semantics on any data."""
     events = _t(spark, sf_dir, "events")
     big = events.filter(
         (F.col("event_type") == "purchase") & (F.col("value") > 400)
@@ -757,6 +761,163 @@ def events_pivot_counts(spark, sf_dir):
         "user_decile",
         *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
           for c in ("click", "view", "purchase", "signup", "error")],
+    )
+
+
+# === events: detector-family recasts (A1/A3/A7/A9/A14) ======================
+# The network/detector operators are pytest-pinned against planted telemetry
+# (operators/network.py, operators/detectors.py); these entries expose the
+# same aggregation shapes over the driver `events` table so the DuckDB gate
+# verifies them too (reference shapes: network_parser.py:136-179,309-345,
+# graph_anomaly_detector.py:168-341, cypher_query_service.py:165-181).
+
+
+@q(
+    "per_user_traffic_stats",
+    """
+    SELECT user_id,
+           count(*) AS connections,
+           count(DISTINCT event_type) AS kinds,
+           round(sum(value), 2) AS total_value,
+           round(avg(value), 2) AS avg_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events GROUP BY user_id
+    """,
+)
+def per_user_traffic_stats(spark, sf_dir):
+    """A1 per-IP traffic stats shape (network_parser.py:136-179): one
+    hash-aggregate per key — count, distinct kinds, volume, first/last seen."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("connections"),
+            F.countDistinct("event_type").alias("kinds"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        )
+    )
+
+
+@q(
+    "exfiltration_rollup",
+    """
+    SELECT user_id,
+           round(sum(value), 2) AS bytes_out,
+           count(*) AS n_events,
+           CASE WHEN round(sum(value), 2) > 500 THEN 'Critical'
+                ELSE 'High' END AS severity
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id HAVING round(sum(value), 2) > 300
+    ORDER BY bytes_out DESC, user_id
+    """,
+)
+def exfiltration_rollup(spark, sf_dir):
+    """A3 exfiltration shape (network_parser.py:309-345): outbound-volume
+    rollup over a filtered slice, threshold + severity ladder. The HAVING
+    compares the ROUNDED sum on both engines (fp-order-proof boundary)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("bytes_out"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("bytes_out") > 300)
+        .withColumn(
+            "severity",
+            F.when(F.col("bytes_out") > 500, "Critical").otherwise("High"),
+        )
+        .orderBy(F.desc("bytes_out"), "user_id")
+    )
+
+
+@q(
+    "fanout_users",
+    """
+    SELECT user_id,
+           count(DISTINCT json_extract_string(props, '$.k')) AS fan_out,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    HAVING count(DISTINCT json_extract_string(props, '$.k')) >= 40
+    """,
+)
+def fanout_users(spark, sf_dir):
+    """A7 fan-out shape (graph_anomaly_detector.py:168-341): one source
+    touching many distinct destinations — destination = the props.k JSON
+    field, so the JSON path extraction is exercised on both engines."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "dest", F.get_json_object("props", "$.k")
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.countDistinct("dest").alias("fan_out"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("fan_out") >= 40)
+    )
+
+
+@q(
+    "suspicious_type_hits",
+    """
+    SELECT user_id,
+           sum(CASE WHEN event_type IN ('error', 'signup') THEN 1 ELSE 0 END)::BIGINT
+             AS suspicious_hits,
+           count(*) AS total,
+           round(100.0 * sum(CASE WHEN event_type IN ('error', 'signup')
+                                  THEN 1 ELSE 0 END) / count(*), 2) AS pct
+    FROM events GROUP BY user_id
+    HAVING sum(CASE WHEN event_type IN ('error', 'signup') THEN 1 ELSE 0 END) > 25
+    """,
+)
+def suspicious_type_hits(spark, sf_dir):
+    """A9 suspicious-port-hit shape (cypher_query_service.py:165-181):
+    membership-set conditional count + share per key."""
+    susp = F.col("event_type").isin("error", "signup")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(susp, 1).otherwise(0)).cast("long").alias("suspicious_hits"),
+            F.count("*").alias("total"),
+        )
+        .filter(F.col("suspicious_hits") > 25)
+        .withColumn(
+            "pct",
+            F.round(F.lit(100.0) * F.col("suspicious_hits") / F.col("total"), 2),
+        )
+    )
+
+
+@q(
+    "event_type_analysis",
+    """
+    SELECT event_type,
+           count(*) AS events,
+           count(DISTINCT user_id) AS users,
+           round(avg(value), 2) AS avg_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def event_type_analysis(spark, sf_dir):
+    """A14 port_analysis shape (network_parser.py + querypack.port_analysis):
+    per-type histogram with distinct-user reach and value stats."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.countDistinct("user_id").alias("users"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
     )
 
 

@@ -6,34 +6,46 @@ layout and commit protocol mirror it):
 
 - nodes/edges partitioned by ``graph_id`` → every query's `MATCH (g {id})`
   prefix becomes partition pruning (S12/S13, SURVEY.md §4)
-- S10 CREATE = snapshot write; S11 MERGE = read-current ∪ incoming →
-  per-key precedence merge → new snapshot (idempotent; last-writer-wins on
-  props, keep-existing-label on identity — neo4j_service.py:132-141)
+- S10 CREATE = commit the incoming graph_id partitions; S11 MERGE =
+  read-current-partition ∪ incoming → per-key precedence merge → commit that
+  one partition (idempotent; COLUMN-wise merge on props — incoming non-null
+  wins per column, mirroring Neo4j ``SET n += props`` which only overwrites
+  provided keys; keep-existing-non-empty label/type on identity —
+  neo4j_service.py:132-141)
 - a ``_manifest`` table mirrors the reference's ``.processed_files`` ledger
   (auto_processor.py:843-883): one row per committed (stage, unit); re-runs
   skip committed units → the resume contract of the north rule.
 
-Snapshots are directories ``<root>/<table>/snapshot=<n>``; the active snapshot
-is the max n with a ``_COMMITTED`` marker, so a killed write is invisible
-(atomic-by-rename is not assumed; readers only trust the marker).
+Commit protocol (partition-scoped copy-on-write — the 100 TB shape):
+partition data lives in immutable version dirs
+``<root>/<table>/data/graph_id=<g>/v=<snap>/``; each snapshot is a tiny
+manifest ``<root>/<table>/snapshot=<n>/_MANIFEST.json`` mapping every live
+graph_id to its current version dir, plus a ``_COMMITTED`` marker written
+last. A MERGE into one graph on a 10k-graph warehouse therefore writes ONE
+partition's files and a manifest that re-references the other 9 999 —
+no whole-table rewrite, exactly Iceberg's overwritePartitions/RewriteFiles.
+DELETE is a manifest-only commit (zero data writes). A killed write is
+invisible (readers only trust the marker), and reads pin the manifest's file
+set, so concurrent commits never tear a scan.
 
-Scale note: this sandbox store rewrites the whole table per snapshot
-(copy-on-write at table granularity) because there is no catalog service.
-On a real deployment the same call sites map 1:1 onto Iceberg's
-``overwritePartitions``/``RewriteFiles`` commits — per-partition manifests
-mean a MERGE into one graph_id touches only that partition's files, and the
-manifest ledger below becomes Iceberg snapshot metadata. The engine-facing
-API (store_graph / store_graph_merge / read / is_done) would not change.
+Tables written with ``partition_by=()`` (raw_extract, triples, metrics, …)
+keep whole-dir snapshots — they are per-run artifacts, not upsert targets.
+
+Reads go through ``spark.read.option("basePath", …)`` over the manifest's
+version dirs, so ``graph_id`` stays a partition column and `MATCH`-prefix
+filters still prune at scan (pinned by test_graph_table_partition_pruning).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class GraphStore:
@@ -66,16 +78,81 @@ class GraphStore:
     def _snapshot_path(self, table: str, snap: int) -> str:
         return os.path.join(self._table_dir(table), f"snapshot={snap}")
 
+    def _data_dir(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "data")
+
+    def _load_partition_manifest(self, table: str, snap: int) -> dict | None:
+        mpath = os.path.join(self._snapshot_path(table, snap), "_MANIFEST.json")
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            return json.load(f)
+
+    def _commit_partitions(
+        self, table: str, df: DataFrame, *,
+        replace_table: bool, sort_within: tuple[str, ...] = (),
+        drop_ids: tuple[str, ...] = (),
+    ) -> int:
+        """Write df's graph_id partitions as immutable ``v=<snap>`` version
+        dirs (ONE Spark job, partitionBy) and commit a manifest referencing
+        them plus — unless ``replace_table`` — every untouched partition's
+        existing files. ``drop_ids`` removes partitions manifest-only."""
+        cur = self.current_snapshot(table)
+        snap = (cur + 1) if cur is not None else 0
+        old = {}
+        if cur is not None and not replace_table:
+            m = self._load_partition_manifest(table, cur)
+            if m:
+                old = dict(m.get("partitions", {}))
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
+        tmp = os.path.join(self._table_dir(table), f"_tmp-{snap}")
+        df.write.mode("overwrite").partitionBy("graph_id").parquet(tmp)
+        changed: dict[str, str] = {}
+        os.makedirs(self._data_dir(table), exist_ok=True)
+        for name in sorted(os.listdir(tmp)):
+            if not name.startswith("graph_id="):
+                continue
+            gid = name.split("=", 1)[1]
+            part_dir = os.path.join(self._data_dir(table), name)
+            os.makedirs(part_dir, exist_ok=True)
+            os.rename(os.path.join(tmp, name), os.path.join(part_dir, f"v={snap}"))
+            changed[gid] = f"{name}/v={snap}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        partitions = {
+            g: p for g, p in old.items() if g not in changed and g not in drop_ids
+        }
+        partitions.update(changed)
+        spath = self._snapshot_path(table, snap)
+        os.makedirs(spath, exist_ok=True)
+        manifest = {
+            "partitions": partitions,
+            "schema": df.schema.json(),
+        }
+        with open(os.path.join(spath, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        with open(os.path.join(spath, "_COMMITTED"), "w") as f:
+            json.dump({"snapshot": snap, "committed_at": time.time()}, f)
+        return snap
+
     def write_snapshot(self, table: str, df: DataFrame,
                        partition_by: tuple[str, ...] = ("graph_id",),
                        sort_within: tuple[str, ...] = ()) -> int:
-        """Commit a new snapshot; returns the snapshot id. The _COMMITTED
+        """Commit a new snapshot; returns the snapshot id. graph_id-partitioned
+        tables go through the partition-scoped manifest commit (the whole df
+        REPLACES the table — callers upserting a single graph use store_graph
+        / store_graph_merge, which only rewrite affected partitions).
+        Non-partitioned tables keep whole-dir snapshots; the _COMMITTED
         marker is written only after the parquet job succeeds, so partial
         writes never become visible (resume-safe).
 
         ``sort_within`` clusters rows inside each file (the poor man's
         Z-order): sorting nodes by node_id / edges by src tightens parquet
         min-max stats so point lookups and range scans skip row groups."""
+        if partition_by == ("graph_id",):
+            return self._commit_partitions(
+                table, df, replace_table=True, sort_within=sort_within
+            )
         cur = self.current_snapshot(table)
         snap = (cur + 1) if cur is not None else 0
         path = self._snapshot_path(table, snap)
@@ -93,7 +170,39 @@ class GraphStore:
         snap = snapshot if snapshot is not None else self.current_snapshot(table)
         if snap is None:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
-        return self.spark.read.parquet(self._snapshot_path(table, snap))
+        manifest = self._load_partition_manifest(table, snap)
+        if manifest is None:
+            return self.spark.read.parquet(self._snapshot_path(table, snap))
+        return self._read_manifest_paths(table, manifest, list(manifest["partitions"]))
+
+    def read_partition(self, table: str, graph_id: str,
+                       snapshot: int | None = None) -> DataFrame | None:
+        """Single-partition read (no scan of other graphs' files); None if the
+        partition doesn't exist in the snapshot."""
+        snap = snapshot if snapshot is not None else self.current_snapshot(table)
+        if snap is None:
+            return None
+        manifest = self._load_partition_manifest(table, snap)
+        if manifest is None:
+            df = self.read(table, snap)
+            return df.filter(F.col("graph_id") == graph_id)
+        if graph_id not in manifest["partitions"]:
+            return None
+        return self._read_manifest_paths(table, manifest, [graph_id])
+
+    def _read_manifest_paths(self, table: str, manifest: dict,
+                             graph_ids: list[str]) -> DataFrame:
+        parts = manifest["partitions"]
+        paths = [os.path.join(self._data_dir(table), parts[g]) for g in graph_ids]
+        if not paths:
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            return self.spark.createDataFrame([], schema)
+        df = (
+            self.spark.read.option("basePath", self._data_dir(table))
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+        )
+        return df.drop("v")
 
     def exists(self, table: str) -> bool:
         return self.current_snapshot(table) is not None
@@ -101,70 +210,48 @@ class GraphStore:
     # --- graph API (S10-S13) ---------------------------------------------------
 
     def store_graph(self, nodes: DataFrame, edges: DataFrame) -> tuple[int, int]:
-        """S10 CREATE semantics: append the graph as a new snapshot containing
-        previous content plus the new graph_id partitions (replacing them if
-        re-run — idempotent)."""
-        new_ids = [r.graph_id for r in nodes.select("graph_id").distinct().collect()]
+        """S10 CREATE semantics: commit the incoming graph_id partitions
+        (replacing them if re-run — idempotent). Partitions of OTHER graphs
+        are carried by manifest reference — zero data rewritten for them."""
         sort_cols = {"nodes": ("node_id",), "edges": ("src", "dst")}
         for table, df in (("nodes", nodes), ("edges", edges)):
-            if self.exists(table):
-                old = self.read(table).filter(~F.col("graph_id").isin(new_ids))
-                df = old.unionByName(df, allowMissingColumns=True)
-            self.write_snapshot(table, df, sort_within=sort_cols[table])
+            self._commit_partitions(
+                table, df, replace_table=False, sort_within=sort_cols[table]
+            )
         return (self.current_snapshot("nodes"), self.current_snapshot("edges"))
 
     def store_graph_merge(self, nodes: DataFrame, edges: DataFrame,
                           graph_id: str) -> None:
-        """S11 MERGE upsert into an existing graph_id partition
-        (neo4j_service.py:76-188):
+        """S11 MERGE upsert into one graph_id partition
+        (neo4j_service.py:76-188) — reads and rewrites ONLY that partition:
 
         nodes — `MERGE (n:Node {id})`: on-create take incoming row; on-match
-        keep existing non-empty label/type, overwrite props (new side wins
-        column-wise where non-null).
-        edges — `MERGE (s)-[r]->(t)` keyed (src, dst, rel_type): new props win.
+        keep existing non-empty label/type/entity_class, and merge value
+        columns COLUMN-wise — incoming non-null wins, existing value is kept
+        where the incoming column is null (Neo4j ``SET n += props`` only
+        overwrites provided keys).
+        edges — `MERGE (s)-[r]->(t)` keyed (src, dst, rel_type): incoming
+        row wins.
         """
-        inc_nodes = nodes.withColumn("graph_id", F.lit(graph_id)).withColumn(
-            "_prio", F.lit(2)
-        )
-        inc_edges = edges.withColumn("graph_id", F.lit(graph_id)).withColumn(
-            "_prio", F.lit(2)
-        )
-        if self.exists("nodes"):
-            old = self.read("nodes")
-            old_part = old.filter(F.col("graph_id") == graph_id).withColumn(
-                "_prio", F.lit(1)
-            )
-            both = old_part.unionByName(inc_nodes, allowMissingColumns=True)
-            # keep-existing-label: identity fields from the OLD row when present;
-            # value/props fields last-writer-wins (incoming side)
-            ident_cols = [c for c in ("label", "type", "entity_class") if c in both.columns]
-            value_cols = [
-                c for c in both.columns
-                if c not in ("node_id", "_prio", *ident_cols)
-            ]
-            ident_first = F.struct("_prio", "node_id")
-            merged = both.groupBy("node_id").agg(
-                F.min_by(F.struct(*ident_cols), ident_first).alias("_i"),
-                F.max_by(F.struct(*value_cols), ident_first).alias("_v"),
-            ).select(
-                "node_id",
-                *[F.col(f"_i.{c}").alias(c) for c in ident_cols],
-                "_v.*",
-            )
-            keep = old.filter(F.col("graph_id") != graph_id)
-            out_nodes = keep.unionByName(
-                merged.select(*old.columns), allowMissingColumns=True
+        inc_nodes = nodes.withColumn("graph_id", F.lit(graph_id))
+        inc_edges = edges.withColumn("graph_id", F.lit(graph_id))
+
+        old_part = self.read_partition("nodes", graph_id) if self.exists("nodes") else None
+        if old_part is not None:
+            merged = self._merge_node_partition(old_part, inc_nodes)
+            self._commit_partitions(
+                "nodes", merged, replace_table=False, sort_within=("node_id",)
             )
         else:
-            out_nodes = inc_nodes.drop("_prio")
-        self.write_snapshot("nodes", out_nodes)
-
-        if self.exists("edges"):
-            old_e = self.read("edges")
-            old_part_e = old_e.filter(F.col("graph_id") == graph_id).withColumn(
-                "_prio", F.lit(1)
+            self._commit_partitions(
+                "nodes", inc_nodes, replace_table=False, sort_within=("node_id",)
             )
-            both_e = old_part_e.unionByName(inc_edges, allowMissingColumns=True)
+
+        old_part_e = self.read_partition("edges", graph_id) if self.exists("edges") else None
+        if old_part_e is not None:
+            both_e = old_part_e.withColumn("_prio", F.lit(1)).unionByName(
+                inc_edges.withColumn("_prio", F.lit(2)), allowMissingColumns=True
+            )
             w = Window.partitionBy("src", "dst", "rel_type").orderBy(
                 F.desc("_prio"), "edge_id"
             )
@@ -173,13 +260,40 @@ class GraphStore:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn", "_prio")
             )
-            keep_e = old_e.filter(F.col("graph_id") != graph_id)
-            out_edges = keep_e.unionByName(
-                merged_e.select(*old_e.columns), allowMissingColumns=True
+            self._commit_partitions(
+                "edges", merged_e, replace_table=False, sort_within=("src", "dst")
             )
         else:
-            out_edges = inc_edges.drop("_prio")
-        self.write_snapshot("edges", out_edges)
+            self._commit_partitions(
+                "edges", inc_edges, replace_table=False, sort_within=("src", "dst")
+            )
+
+    @staticmethod
+    def _merge_node_partition(old_part: DataFrame, inc: DataFrame) -> DataFrame:
+        """Column-wise node upsert: old/new rows pivot into one row per
+        node_id, then identity columns keep the existing non-empty value and
+        every other column coalesces incoming-first."""
+        both = old_part.withColumn("_prio", F.lit(1)).unionByName(
+            inc.withColumn("_prio", F.lit(2)), allowMissingColumns=True
+        )
+        cols = [c for c in both.columns if c not in ("node_id", "_prio")]
+        ident_cols = [c for c in ("label", "type", "entity_class") if c in cols]
+        row = F.struct(*cols)
+        pivoted = both.groupBy("node_id").agg(
+            F.max(F.when(F.col("_prio") == 1, row)).alias("o"),
+            F.max(F.when(F.col("_prio") == 2, row)).alias("n"),
+        )
+
+        def merged_col(c):
+            o, n = F.col(f"o.{c}"), F.col(f"n.{c}")
+            if c in ident_cols:
+                # keep existing label/type when present and non-empty
+                return F.when(
+                    o.isNotNull() & (F.trim(o) != ""), o
+                ).otherwise(n).alias(c)
+            return F.coalesce(n, o).alias(c)
+
+        return pivoted.select("node_id", *[merged_col(c) for c in cols])
 
     def get_graph(self, graph_id: str, node_limit: int = 1000,
                   edge_limit: int = 2000) -> tuple[DataFrame, DataFrame]:
@@ -189,20 +303,40 @@ class GraphStore:
         return n, e
 
     def list_graphs(self) -> list[str]:
-        """S13: distinct graph ids (SHOW PARTITIONS analogue)."""
+        """S13: distinct graph ids — manifest keys, no Spark job
+        (SHOW PARTITIONS analogue)."""
         if not self.exists("nodes"):
             return []
+        snap = self.current_snapshot("nodes")
+        manifest = self._load_partition_manifest("nodes", snap)
+        if manifest is not None:
+            return sorted(manifest["partitions"])
         return sorted(
-            r.graph_id for r in self.read("nodes").select("graph_id").distinct().collect()
+            r.graph_id
+            for r in self.read("nodes").select("graph_id").distinct().collect()
         )
 
     def delete_graph(self, graph_id: str) -> None:
-        """S13 DETACH DELETE: drop the partition via a filtered new snapshot."""
+        """S13 DETACH DELETE: manifest-only commit dropping the partition —
+        no data files read or written."""
         for table in ("nodes", "edges"):
-            if self.exists(table):
+            if not self.exists(table):
+                continue
+            cur = self.current_snapshot(table)
+            manifest = self._load_partition_manifest(table, cur)
+            if manifest is None:
                 self.write_snapshot(
                     table, self.read(table).filter(F.col("graph_id") != graph_id)
                 )
+                continue
+            snap = cur + 1
+            manifest["partitions"].pop(graph_id, None)
+            spath = self._snapshot_path(table, snap)
+            os.makedirs(spath, exist_ok=True)
+            with open(os.path.join(spath, "_MANIFEST.json"), "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
+            with open(os.path.join(spath, "_COMMITTED"), "w") as f:
+                json.dump({"snapshot": snap, "committed_at": time.time()}, f)
 
     # --- manifest / resume (S9) -----------------------------------------------
 

@@ -146,6 +146,42 @@ def test_stats_and_quality(spark):
     # every port in this graph has a USES_PORT edge by construction
     assert dq.orphaned_ports == 0
 
+    # planted defects are counted
+    bad_nodes = nodes.unionByName(
+        nodes.limit(1).withColumn("label", F.lit("")).withColumn(
+            "node_id", F.lit("zz_bad")
+        )
+    )
+    bad_edges = edges.unionByName(
+        edges.limit(1).withColumn("src", F.lit("zz_missing"))
+    )
+    dq2 = ST.data_quality(bad_nodes, bad_edges).collect()[0]
+    assert dq2.invalid_labels == 1 and dq2.dangling_edges == 1
+
+
+def test_data_quality_is_lazy_single_plan(spark):
+    """A19 must be ONE declarative plan: constructing the result DataFrame
+    runs zero Spark jobs (the old shape fired 4 driver-side counts)."""
+    from knowledge_graph_rag_spark.operators import stats as ST
+
+    nodes = spark.createDataFrame(
+        [("g", "n1", "A", "Port"), ("g", "n2", "B", "InternalIP")],
+        "graph_id string, node_id string, label string, type string",
+    )
+    edges = spark.createDataFrame(
+        [("g", "e1", "n2", "n1", "USES_PORT")],
+        "graph_id string, edge_id string, src string, dst string, rel_type string",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("dq_lazy_probe", "construction must be lazy")
+    try:
+        df = ST.data_quality(nodes, edges)
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("dq_lazy_probe") == []
+    row = df.collect()[0]
+    assert (row.invalid_labels, row.orphaned_ports, row.dangling_edges) == (0, 0, 0)
+
 
 def test_chunk_text_parity():
     """P9 chunking semantics vs the reference algorithm shape: coverage with

@@ -63,6 +63,77 @@ def test_merge_upsert_keep_existing_label(spark, store):
     assert edges == {("a", "a", "KNOWS"), ("a", "b", "USES_PORT")}
 
 
+def _data_files(store, table):
+    import os
+
+    out = {}
+    data = os.path.join(store.root, table, "data")
+    for dirpath, _, files in os.walk(data):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_merge_rewrites_only_affected_partition(spark, store):
+    """Partition-scoped commits: a MERGE into g1 on a 2-graph warehouse must
+    not touch g2's data files (the 100 TB contract — Iceberg
+    overwritePartitions semantics)."""
+    for gid in ("g1", "g2"):
+        store.store_graph(
+            _mini_nodes(spark, gid, [(f"{gid}-a", "A", "Person")]),
+            _mini_edges(spark, gid, [(f"{gid}-a", f"{gid}-a", "KNOWS")]),
+        )
+    before = {
+        t: {p for p in _data_files(store, t) if "graph_id=g2" in p}
+        for t in ("nodes", "edges")
+    }
+    store.store_graph_merge(
+        _mini_nodes(spark, "g1", [("g1-b", "B", "Port")]),
+        _mini_edges(spark, "g1", [("g1-a", "g1-b", "USES_PORT")]),
+        "g1",
+    )
+    after = {
+        t: {p for p in _data_files(store, t) if "graph_id=g2" in p}
+        for t in ("nodes", "edges")
+    }
+    assert before == after  # g2's physical files untouched
+    # and the merge is visible
+    assert store.read("nodes").filter("graph_id = 'g1'").count() == 2
+    assert store.read("nodes").filter("graph_id = 'g2'").count() == 1
+
+
+def test_delete_graph_is_manifest_only(spark, store):
+    store.store_graph(
+        _mini_nodes(spark, "g1", [("a", "A", "Person")]),
+        _mini_edges(spark, "g1", [("a", "a", "KNOWS")]),
+    )
+    store.store_graph(
+        _mini_nodes(spark, "g2", [("b", "B", "Person")]),
+        _mini_edges(spark, "g2", [("b", "b", "KNOWS")]),
+    )
+    files_before = _data_files(store, "nodes")
+    store.delete_graph("g1")
+    assert _data_files(store, "nodes") == files_before  # zero data writes
+    assert store.list_graphs() == ["g2"]
+
+
+def test_merge_column_wise_coalesce(spark, store):
+    """Neo4j `SET n += props`: an incoming NULL prop must not clobber an
+    existing non-null value; incoming non-null wins."""
+    n1 = _mini_nodes(spark, "g1", [("a", "Label A", "Person")]).withColumn(
+        "score", F.lit(7.0)
+    )
+    store.store_graph(n1, _mini_edges(spark, "g1", [("a", "a", "KNOWS")]))
+    n2 = _mini_nodes(spark, "g1", [("a", None, "Person")])  # score stays null
+    store.store_graph_merge(
+        n2, _mini_edges(spark, "g1", [("a", "a", "KNOWS")]), "g1"
+    )
+    row = store.read("nodes").filter("node_id = 'a'").first()
+    assert row.score == 7.0  # null incoming did NOT overwrite
+    assert row.label == "Label A"  # null incoming label → keep existing
+
+
 def test_delete_graph(spark, store):
     store.store_graph(
         _mini_nodes(spark, "g1", [("a", "A", "Person")]),
