@@ -47,6 +47,7 @@ def run(
     graph_id: str = "kg_main",
     run_id: str = "run0",
     enable_lsh_canonicalization: bool = True,
+    bucketed_query_tables: bool = False,
 ) -> PipelineResult:
     res = PipelineResult(run_id=run_id)
     metrics_parts: list[DataFrame] = []
@@ -164,6 +165,33 @@ def run(
     edges = store.read("edges").filter(F.col("graph_id") == graph_id)
     metrics_parts.append(partition_lineage(nodes, run_id, "materialize_nodes"))
     metrics_parts.append(partition_lineage(edges, run_id, "materialize_edges"))
+
+    # --- bucketize (opt-in) ------------------------------------------------------
+    # Query-side acceleration: nodes bucketed+sorted on node_id, edges on src,
+    # so every downstream edges⋈nodes endpoint join (J1 shape — detectors,
+    # templates) plans as a co-located SortMergeJoin with ZERO Exchange
+    # (pinned by test_bucketed_join_no_exchange over pipeline output).
+    if bucketed_query_tables:
+        from ..operators import bucketing as B
+
+        nt, et = f"{graph_id}_nodes_bucketed", f"{graph_id}_edges_bucketed"
+        if (
+            store.is_done("bucketize", graph_id)
+            and spark.catalog.tableExists(nt)
+            and spark.catalog.tableExists(et)
+        ):
+            res.stages_skipped.append("bucketize")
+        else:
+            B.write_bucketed(
+                nodes, nt, ["node_id"], 16,
+                path=f"{store.root}/bucketed/{graph_id}_nodes",
+            )
+            B.write_bucketed(
+                edges, et, ["src"], 16,
+                path=f"{store.root}/bucketed/{graph_id}_edges",
+            )
+            store.mark_done("bucketize", graph_id, run_id=run_id)
+            res.stages_run.append("bucketize")
 
     # --- metrics -------------------------------------------------------------------
     all_metrics = metrics_parts[0]

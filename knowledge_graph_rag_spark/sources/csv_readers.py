@@ -195,6 +195,93 @@ def read_unsw_preprocessed(spark: SparkSession, path: str, max_rows: int = 5000)
     )
 
 
+#: the reference's fixed internal-server pool (auto_processor.py:422)
+CICIDS_INTERNAL_SERVERS = [
+    "192.168.1.10", "192.168.1.20", "192.168.1.100", "10.0.0.5", "10.0.0.10",
+]
+
+
+def read_cicids2017(spark: SparkSession, path: str, max_rows: int = 5000) -> DataFrame:
+    """S5 (auto_processor.py:409-477): header-based CICIDS2017 reader with
+    attack-aware IP synthesis.
+
+    The reference draws missing IPs from ``random`` per attack label
+    (DDoS/DoS → any public /8, PortScan → 45.33.0.0/16, Bot → 185.0.0.0/8,
+    Brute Force → 185.220.0.0/16, BENIGN → 192.168.1.10-99 → internal
+    servers). Per SURVEY.md S5, every ``random`` call is replaced by
+    hash-of-row arithmetic (xxhash64(_i, salt)) — same patterns and ranges,
+    bit-reproducible across runs. All column expressions, no UDF."""
+    df = spark.read.csv(path, header=True)
+    df = df.toDF(*[c.lower().strip() for c in df.columns])
+    present = set(df.columns)
+    df = _row_index(df.limit(max_rows))
+
+    def h(salt: str):
+        # deterministic stand-in for one random.randint draw
+        return F.abs(F.xxhash64(F.col("_i"), F.lit(salt)))
+
+    def o(salt: str, lo: int, hi: int):  # inclusive range, as string
+        return (F.lit(lo) + h(salt) % (hi - lo + 1)).cast("string")
+
+    def col_or_null(name: str):
+        return F.trim(F.col(name)) if name in present else F.lit(None).cast("string")
+
+    label = F.coalesce(
+        F.nullif(col_or_null("label"), F.lit("")), F.lit("BENIGN")
+    )
+    ll = F.lower(label)
+    raw_src = F.nullif(col_or_null("source ip"), F.lit(""))
+    raw_dst = F.nullif(col_or_null("destination ip"), F.lit(""))
+
+    rand_public = F.concat_ws(
+        ".", o("a", 1, 223), o("b", 1, 254), o("c", 1, 254), o("d", 1, 254)
+    )
+    # dict-order match, exactly like the reference loop (DDoS before DoS)
+    synth_src = (
+        F.when(label == "BENIGN",
+               F.concat(F.lit("192.168.1."), o("ben", 10, 99)))
+        .when(ll.contains("ddos"), rand_public)
+        .when(ll.contains("dos"), rand_public)
+        .when(ll.contains("portscan"),
+              F.concat(F.lit("45.33."), o("p1", 1, 254), F.lit("."), o("p2", 1, 254)))
+        .when(ll.contains("bot"),
+              F.concat(F.lit("185."), o("b1", 1, 254), F.lit("."),
+                       o("b2", 1, 254), F.lit("."), o("b3", 1, 254)))
+        .when(ll.contains("brute force"),
+              F.concat(F.lit("185.220."), o("bf1", 1, 254), F.lit("."), o("bf2", 1, 254)))
+        .otherwise(rand_public)
+    )
+    servers = F.array(*[F.lit(s) for s in CICIDS_INTERNAL_SERVERS])
+    synth_dst = F.get(servers, (h("dsrv") % 5).cast("int"))
+    need_synth = raw_src.isNull() | raw_dst.isNull()
+
+    is_attack = label != "BENIGN"
+    out = (
+        df.withColumn("source_ip", F.when(need_synth, synth_src).otherwise(raw_src))
+        .withColumn("dest_ip", F.when(need_synth, synth_dst).otherwise(raw_dst))
+        .withColumn("source_port", F.lit(0))  # absent in CICIDS logs (reference omits the key)
+        .withColumn(
+            "dest_port",
+            F.coalesce(
+                col_or_null("destination port").try_cast("double").cast("int"),
+                F.lit(80),
+            ),
+        )
+        .withColumn("protocol", F.lit("TCP"))
+        .withColumn("bytes_sent", (F.lit(100) + h("bs") % 4901))
+        .withColumn("bytes_received", (F.lit(100) + h("br") % 4901))
+        .withColumn("duration", F.lit(0.1) + (h("dur") % 9900) / F.lit(1000.0))
+        .withColumn("action", F.when(is_attack, "deny").otherwise("allow"))
+        .withColumn("attack_type", F.when(is_attack, label))
+    )
+    out = _with_timestamp(out)
+    return out.select(
+        "timestamp", "source_ip", "dest_ip", "source_port", "dest_port",
+        "protocol", "bytes_sent", "bytes_received", "duration", "action",
+        F.lit(None).cast("string").alias("user"), "attack_type",
+    )
+
+
 def read_generic(spark: SparkSession, path: str, max_rows: int = 5000) -> DataFrame:
     """S6 (auto_processor.py:480-519): header-based reader with column-name
     aliasing (source_ip/src_ip/srcip/...) via coalesce over present aliases."""
@@ -228,13 +315,12 @@ def read_generic(spark: SparkSession, path: str, max_rows: int = 5000) -> DataFr
 
 
 def convert_csv_to_logs(spark: SparkSession, path: str, max_rows: int = 5000) -> DataFrame:
-    """Dispatch on sniffed format (auto_processor.py:119-139). CICIDS2017 falls
-    through to the generic alias reader (its IP-less variant would need the
-    random source synthesis the reference uses — deliberately not reproduced;
-    determinism requirement, FIXTURES.md)."""
+    """Dispatch on sniffed format (auto_processor.py:119-139)."""
     fmt, _ = detect_dataset_format(path)
     if fmt == "unsw_nb15":
         return read_unsw_nb15(spark, path, max_rows)
     if fmt == "unsw_nb15_preprocessed":
         return read_unsw_preprocessed(spark, path, max_rows)
+    if fmt == "cicids2017":
+        return read_cicids2017(spark, path, max_rows)
     return read_generic(spark, path, max_rows)

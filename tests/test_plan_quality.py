@@ -164,3 +164,39 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_nodes")
         spark.sql("DROP TABLE IF EXISTS b_edges")
+
+
+def test_pipeline_bucketed_output_join_no_exchange(spark, tmp_path):
+    """bucketed_query_tables=True materializes bucketed nodes/edges copies;
+    the downstream J1 endpoint join over them plans with zero Exchange."""
+    import re
+
+    from knowledge_graph_rag_spark import synth
+    from knowledge_graph_rag_spark.operators import bucketing as B
+    from knowledge_graph_rag_spark.plans import pipeline
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    docs = synth.documents_df(spark, 30)
+    res = pipeline.run(spark, docs, store, graph_id="kgb", run_id="r1",
+                       enable_lsh_canonicalization=False,
+                       bucketed_query_tables=True)
+    assert "bucketize" in res.stages_run
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = B.colocated_join(
+            spark, "kgb_edges_bucketed", "kgb_nodes_bucketed", "src", "node_id"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert not re.findall(r"\(\d+\) Exchange\b", plan), plan[:1500]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    # resume: second run skips the bucketize stage
+    res2 = pipeline.run(spark, docs, store, graph_id="kgb", run_id="r2",
+                        enable_lsh_canonicalization=False,
+                        bucketed_query_tables=True)
+    assert "bucketize" in res2.stages_skipped
+    spark.sql("DROP TABLE IF EXISTS kgb_nodes_bucketed")
+    spark.sql("DROP TABLE IF EXISTS kgb_edges_bucketed")

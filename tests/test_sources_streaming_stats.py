@@ -72,6 +72,51 @@ def test_read_preprocessed_synthetic_ips(spark, tmp_path):
     assert r0.dest_ip.split(".")[0] == "59"
 
 
+def test_read_cicids2017(spark, tmp_path):
+    """S5: attack-aware deterministic IP synthesis (auto_processor.py:409-477
+    with hash-of-row replacing random, per SURVEY.md S5)."""
+    p = tmp_path / "cic.csv"
+    p.write_text(
+        " Destination Port, Flow Duration, Label\n"
+        "80,100,BENIGN\n"
+        "22,50,PortScan\n"
+        "443,70,DDoS\n"
+        "3389,10,Bot\n"
+        "21,5,Web Attack Brute Force\n"
+    )
+    df = CR.convert_csv_to_logs(spark, str(p)).orderBy("timestamp")
+    rows = df.collect()
+    assert len(rows) == 5
+    benign, portscan, ddos, bot, brute = rows
+    # BENIGN → internal client → internal server pool
+    assert benign.source_ip.startswith("192.168.1.")
+    assert 10 <= int(benign.source_ip.rsplit(".", 1)[1]) <= 99
+    assert benign.dest_ip in CR.CICIDS_INTERNAL_SERVERS
+    assert benign.action == "allow" and benign.attack_type is None
+    # per-attack source patterns
+    assert portscan.source_ip.startswith("45.33.")
+    assert bot.source_ip.startswith("185.")
+    assert brute.source_ip.startswith("185.220.")
+    first_octet = int(ddos.source_ip.split(".")[0])
+    assert 1 <= first_octet <= 223
+    for r in (portscan, ddos, bot, brute):
+        assert r.action == "deny" and r.attack_type is not None
+        assert r.dest_ip in CR.CICIDS_INTERNAL_SERVERS
+    assert (benign.dest_port, portscan.dest_port) == (80, 22)
+    # determinism: re-read gives identical rows
+    again = CR.convert_csv_to_logs(spark, str(p)).orderBy("timestamp").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # IPs present in the file are passed through, not synthesized
+    p2 = tmp_path / "cic_ips.csv"
+    p2.write_text(
+        "Source IP,Destination IP,Destination Port,Label\n"
+        "172.16.0.1,192.168.10.50,8080,DoS Hulk\n"
+    )
+    r = CR.convert_csv_to_logs(spark, str(p2)).collect()[0]
+    assert r.source_ip == "172.16.0.1" and r.dest_ip == "192.168.10.50"
+    assert r.dest_port == 8080 and r.attack_type == "DoS Hulk"
+
+
 def test_read_generic_aliases(spark, tmp_path):
     p = tmp_path / "gen.csv"
     p.write_text(
