@@ -1,11 +1,11 @@
-"""Optional ML anomaly scoring (IsolationForest parity, sklearn-gated).
+"""ML anomaly scoring (IsolationForest parity).
 
 The reference fits an IsolationForest on the in-memory batch and falls back to
 rule-based scoring when sklearn is unavailable or the batch is small
 (``anomaly_detector.py:127-199``). This engine's contract path is the
 rule-based scorer (operators/network.score_connections — native columns); this
-module adds the ML path when sklearn exists, mirroring the reference's
-fit-on-driver / predict-distributed split:
+module adds the ML path mirroring the reference's fit-on-driver /
+predict-distributed split:
 
 - feature extraction is a native-column projection (same 7 features,
   ``anomaly_detector.py:60-99``)
@@ -13,10 +13,16 @@ fit-on-driver / predict-distributed split:
   whole ≤5k batch; at 100 TB you fit on a sample, never the corpus)
 - the fitted model is closure-broadcast into an Arrow-batched pandas UDF for
   distributed scoring
+
+Backend: sklearn's IsolationForest when importable; otherwise a pure-numpy
+implementation of the same algorithm (Liu, Ting, Zhou — "Isolation Forest",
+ICDM 2008: random-split trees over a ψ-sample, score 2^(−E[h]/c(ψ))), so the
+ML path executes and is testable in environments without sklearn.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -24,8 +30,91 @@ try:
     from sklearn.ensemble import IsolationForest  # noqa: F401
 
     SKLEARN_AVAILABLE = True
-except ImportError:  # container has no sklearn — rule-based path is used
+except ImportError:  # no sklearn — the numpy backend below is used
     SKLEARN_AVAILABLE = False
+
+_EULER = 0.5772156649015329
+
+
+def _c(n) -> float:
+    """Average unsuccessful-search path length in a BST of n nodes."""
+    if n <= 1:
+        return 0.0
+    return 2.0 * (np.log(n - 1.0) + _EULER) - 2.0 * (n - 1.0) / n
+
+
+class NumpyIsolationForest:
+    """Minimal, deterministic isolation forest (fit on ≤max_samples rows).
+
+    Trees are stored as flat arrays (feature / threshold / child indices /
+    leaf size); scoring walks index partitions per node, so a batch of rows
+    descends each tree in O(depth) vectorized steps, not per-row Python."""
+
+    def __init__(self, n_estimators: int = 100, max_samples: int = 256,
+                 seed: int = 42):
+        self.n_estimators = n_estimators
+        self.max_samples = max_samples
+        self.seed = seed
+        self.trees: list[dict] = []
+        self.psi = 0
+
+    def fit(self, X: np.ndarray) -> "NumpyIsolationForest":
+        rng = np.random.default_rng(self.seed)
+        n = X.shape[0]
+        self.psi = min(self.max_samples, n)
+        depth_limit = int(np.ceil(np.log2(max(self.psi, 2))))
+        self.trees = []
+        for _ in range(self.n_estimators):
+            idx = rng.choice(n, size=self.psi, replace=False)
+            tree = {"feature": [], "thresh": [], "left": [], "right": [], "size": []}
+            self._build(X[idx], tree, 0, depth_limit, rng)
+            self.trees.append({k: np.asarray(v) for k, v in tree.items()})
+        return self
+
+    def _build(self, X: np.ndarray, t: dict, depth: int, limit: int, rng) -> int:
+        node = len(t["feature"])
+        for k in t:
+            t[k].append(0)
+        lo, hi = X.min(axis=0), X.max(axis=0)
+        splittable = np.nonzero(hi > lo)[0]
+        if depth >= limit or X.shape[0] <= 1 or splittable.size == 0:
+            t["feature"][node] = -1
+            t["size"][node] = X.shape[0]
+            return node
+        f = int(rng.choice(splittable))
+        s = float(rng.uniform(lo[f], hi[f]))
+        mask = X[:, f] < s
+        t["feature"][node] = f
+        t["thresh"][node] = s
+        t["left"][node] = self._build(X[mask], t, depth + 1, limit, rng)
+        t["right"][node] = self._build(X[~mask], t, depth + 1, limit, rng)
+        return node
+
+    def _path_lengths(self, tree: dict, X: np.ndarray) -> np.ndarray:
+        out = np.zeros(X.shape[0])
+        stack = [(0, np.arange(X.shape[0]), 0.0)]
+        feature, thresh = tree["feature"], tree["thresh"]
+        left, right, size = tree["left"], tree["right"], tree["size"]
+        while stack:
+            node, idx, depth = stack.pop()
+            if idx.size == 0:
+                continue
+            f = feature[node]
+            if f < 0:
+                out[idx] = depth + _c(size[node])
+                continue
+            mask = X[idx, f] < thresh[node]
+            stack.append((left[node], idx[mask], depth + 1.0))
+            stack.append((right[node], idx[~mask], depth + 1.0))
+        return out
+
+    def score_samples(self, X: np.ndarray) -> np.ndarray:
+        """Anomaly score in (0, 1]; higher = more anomalous (2^(−E[h]/c(ψ)))."""
+        h = np.zeros(X.shape[0])
+        for tree in self.trees:
+            h += self._path_lengths(tree, X)
+        h /= len(self.trees)
+        return 2.0 ** (-h / _c(self.psi))
 
 
 def feature_frame(scored_conns: DataFrame) -> DataFrame:
@@ -67,35 +156,61 @@ _FEATURES = [
 
 
 def ml_scores(scored_conns: DataFrame, sample_rows: int = 10000,
-              contamination: float = 0.1, seed: int = 42) -> DataFrame:
-    """(conn_id, ml_score, ml_anomaly) via IsolationForest. Raises
-    ImportError when sklearn is absent — callers keep the rule-based scores
-    (exactly the reference's fallback, anomaly_detector.py:134-135)."""
-    if not SKLEARN_AVAILABLE:
-        raise ImportError("sklearn unavailable — use rule-based score_connections")
+              contamination: float = 0.1, seed: int = 42,
+              backend: str = "auto") -> DataFrame:
+    """(conn_id, ml_score, ml_anomaly) via IsolationForest.
+
+    backend='auto' uses sklearn when importable, else the pure-numpy forest;
+    'sklearn' / 'numpy' force one (ImportError if sklearn is forced but
+    absent). ml_anomaly flags the top-``contamination`` quantile of the
+    training sample's scores — the reference's contamination semantics."""
+    if backend == "auto":
+        backend = "sklearn" if SKLEARN_AVAILABLE else "numpy"
+    if backend == "sklearn" and not SKLEARN_AVAILABLE:
+        raise ImportError("sklearn unavailable — use backend='numpy'")
 
     import pandas as pd
-    from sklearn.ensemble import IsolationForest
-    from sklearn.preprocessing import StandardScaler
 
     feats = feature_frame(scored_conns)
     sample = feats.limit(sample_rows).toPandas()
-    scaler = StandardScaler().fit(sample[_FEATURES].to_numpy())
-    model = IsolationForest(contamination=contamination, random_state=seed).fit(
-        scaler.transform(sample[_FEATURES].to_numpy())
-    )
+    xs = sample[_FEATURES].to_numpy(dtype=float)
+    mean, std = xs.mean(axis=0), xs.std(axis=0)
+    std[std == 0.0] = 1.0
+
+    if backend == "sklearn":  # pragma: no cover — container has no sklearn
+        from sklearn.ensemble import IsolationForest
+
+        model = IsolationForest(contamination=contamination, random_state=seed).fit(
+            (xs - mean) / std
+        )
+
+        def scores_of(x):
+            return -model.score_samples(x)
+
+        def flags_of(x):
+            return model.predict(x) == -1
+    else:
+        model = NumpyIsolationForest(seed=seed).fit((xs - mean) / std)
+        threshold = float(
+            np.quantile(model.score_samples((xs - mean) / std), 1.0 - contamination)
+        )
+
+        def scores_of(x):
+            return model.score_samples(x)
+
+        def flags_of(x):
+            return model.score_samples(x) > threshold
 
     out_schema = "conn_id string, ml_score double, ml_anomaly boolean"
 
     def score(batches):
         for pdf in batches:
-            x = scaler.transform(pdf[_FEATURES].to_numpy())
-            s = -model.score_samples(x)
+            x = (pdf[_FEATURES].to_numpy(dtype=float) - mean) / std
             yield pd.DataFrame(
                 {
                     "conn_id": pdf["conn_id"],
-                    "ml_score": s,
-                    "ml_anomaly": model.predict(x) == -1,
+                    "ml_score": scores_of(x),
+                    "ml_anomaly": flags_of(x),
                 }
             )
 

@@ -1395,9 +1395,59 @@ def docpack_attack_surface(spark, sf_dir):
     return out.withColumn("sample_hosts", F.array_join("sample_hosts", ","))
 
 
+def doc_file_sources(spark, sf_dir):
+    """S8 rows-only: binary document → text extraction over a deterministic
+    on-disk fixture (txt/html/doc/pdf/unknown), per-format status rollup."""
+    import os
+    import tempfile
+
+    from ..sources import documents as DS
+
+    d = os.path.join(tempfile.gettempdir(), "kgrag_docsrc_fixture")
+    os.makedirs(d, exist_ok=True)
+    fixtures = {
+        "a.txt": b"Acme Corp shipped Widget 3000 on January 5, 2024.",
+        "b.html": b"<html><body><h1>Report</h1><p>Acme &amp; Globex</p>"
+                  b"<script>x()</script></body></html>",
+        "c.doc": b"\x00\x01Quarterly summary text\x02",
+        "d.pdf": b"%PDF-1.4 stub",
+        "e.bin": b"\x00\x01\x02",
+    }
+    for name, content in fixtures.items():
+        path = os.path.join(d, name)
+        if not os.path.exists(path):
+            with open(path, "wb") as f:
+                f.write(content)
+    out = DS.read_document_files(spark, d + "/*")
+    return (
+        out.groupBy("source_format", "decode_status")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .orderBy("source_format")
+    )
+
+
+def ml_anomaly_flags(spark, sf_dir):
+    """IsolationForest path rows-only (numpy backend in this container):
+    flagged connections with rounded scores — deterministic seed."""
+    from .. import synth
+    from ..operators import ml_anomaly as ML
+    from ..operators import network as N
+
+    conns = N.score_connections(N.parse_logs(synth.network_logs_df(spark, 600)))
+    out = ML.ml_scores(conns, contamination=0.05, backend="numpy")
+    return (
+        out.filter(F.col("ml_anomaly"))
+        .select("conn_id", F.round("ml_score", 3).alias("ml_score"))
+        .orderBy(F.desc("ml_score"), "conn_id")
+        .limit(20)
+    )
+
+
 _ROWS_ONLY = {
     "kg_triples": kg_triples,
     "kg_node_summary": kg_node_summary,
+    "doc_file_sources": doc_file_sources,
+    "ml_anomaly_flags": ml_anomaly_flags,
     "minhash_surface_candidates": minhash_surface_candidates,
     "media_span_manifest": media_span_manifest,
     "template_exploit_preparation": template_exploit_preparation,

@@ -112,9 +112,40 @@ def test_ml_anomaly_gated():
 
     if not ML.SKLEARN_AVAILABLE:
         with pytest.raises(ImportError):
-            ML.ml_scores(None)
+            ML.ml_scores(None, backend="sklearn")
     else:  # pragma: no cover — container has no sklearn
         assert callable(ML.ml_scores)
+
+
+def test_ml_anomaly_numpy_forest(spark):
+    """The ML path executes with the pure-numpy IsolationForest: a planted
+    extreme outlier scores above the population and gets flagged."""
+    import numpy as np
+
+    from knowledge_graph_rag_spark import synth
+    from knowledge_graph_rag_spark.operators import ml_anomaly as ML
+    from knowledge_graph_rag_spark.operators import network as N
+
+    conns = N.score_connections(N.parse_logs(synth.network_logs_df(spark, 400)))
+    out = ML.ml_scores(conns, contamination=0.05, backend="numpy")
+    rows = out.collect()
+    assert len(rows) == conns.count()
+    scores = {r.conn_id: r.ml_score for r in rows}
+    assert all(0.0 < s <= 1.0 for s in scores.values())
+    flagged = sum(1 for r in rows if r.ml_anomaly)
+    assert 0 < flagged < len(rows) * 0.25  # roughly contamination-bounded
+    # determinism: same seed → identical scores
+    again = {r.conn_id: r.ml_score for r in ML.ml_scores(
+        conns, contamination=0.05, backend="numpy").collect()}
+    assert scores == again
+
+    # unit check on the forest itself: a planted far outlier ranks top-1
+    rng = np.random.default_rng(0)
+    X = rng.normal(0, 1, size=(300, 4))
+    X[0] = [12.0, -12.0, 12.0, -12.0]
+    f = ML.NumpyIsolationForest(seed=1).fit(X)
+    s = f.score_samples(X)
+    assert s[0] == s.max() and s[0] > 0.6
 
 
 def test_ml_feature_frame_native(spark):
