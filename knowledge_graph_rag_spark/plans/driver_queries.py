@@ -1171,12 +1171,16 @@ def ngram_jaccard_pairs(spark, sf_dir):
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
+    # collect_set dedups (doc_id, shingle) — no separate distinct() shuffle.
+    # buckets feeds THREE subtrees (sizes, and both sides of the pair agg);
+    # localCheckpoint materializes the bucketed shingle table once instead of
+    # re-running the scan+explode 6× (at scale: persist the shingle table).
     buckets = (
         shingles.groupBy("shingle")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") <= 100)
+        .localCheckpoint(eager=False)
     )
     sizes = (
         buckets.select(F.explode("ids").alias("doc_id"))

@@ -25,5 +25,5 @@ def test_rows_only_entries_documented():
         "kg_triples", "kg_node_summary", "minhash_surface_candidates",
         "media_span_manifest", "template_exploit_preparation",
         "template_network_topology", "graph_anomaly_detect_all",
-        "docpack_attack_surface",
+        "docpack_attack_surface", "doc_file_sources", "ml_anomaly_flags",
     }
