@@ -921,6 +921,29 @@ def event_type_analysis(spark, sf_dir):
     )
 
 
+@q(
+    "hourly_scan_bursts",
+    """
+    SELECT user_id, hour(ts) AS hr,
+           count(DISTINCT event_type) AS kinds, count(*) AS n
+    FROM events GROUP BY user_id, hour(ts)
+    HAVING count(DISTINCT event_type) >= 4 AND count(*) >= 8
+    """,
+)
+def hourly_scan_bursts(spark, sf_dir):
+    """A2 port-scan shape (network_parser.py: distinct-port set per source
+    within a window ≥ τ) recast as distinct-kind bursts per user-hour."""
+    e = _t(spark, sf_dir, "events").withColumn("hr", F.hour("ts"))
+    return (
+        e.groupBy("user_id", "hr")
+        .agg(
+            F.countDistinct("event_type").alias("kinds"),
+            F.count("*").alias("n"),
+        )
+        .filter((F.col("kinds") >= 4) & (F.col("n") >= 8))
+    )
+
+
 # === documents: text analysis / training-data ops ============================
 
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -1112,6 +1135,34 @@ def doc_fingerprints(spark, sf_dir):
     """Document fingerprinting (content hash prefix)."""
     return _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring(F.md5("text"), 1, 8).alias("fp"), "n_chars"
+    )
+
+
+@q(
+    "bpe_token_counts",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'))
+             AS bpe_tokens,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+             AS ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark, sf_dir):
+    """Token counting, BPE-ish pre-tokenizer regex (GPT-2-style contraction /
+    letter-run / digit-run / punct-run classes) alongside whitespace tokens —
+    the same pattern runs in Java regex and DuckDB RE2 (no lookarounds)."""
+    pat = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit("")))
+        .cast("long")
+        .alias("ws_tokens"),
     )
 
 
@@ -1447,11 +1498,24 @@ def ml_anomaly_flags(spark, sf_dir):
     )
 
 
+def ivf_topk_ann(spark, sf_dir):
+    """IVF ANN rows-only (k-means centroid fit is not SQL-expressible):
+    top-3 neighbors for 5 probe queries over the embeddings table."""
+    from ..operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=3, n_clusters=16, n_probe=8).orderBy(
+        "query_id", "rank"
+    )
+
+
 _ROWS_ONLY = {
     "kg_triples": kg_triples,
     "kg_node_summary": kg_node_summary,
     "doc_file_sources": doc_file_sources,
     "ml_anomaly_flags": ml_anomaly_flags,
+    "ivf_topk_ann": ivf_topk_ann,
     "minhash_surface_candidates": minhash_surface_candidates,
     "media_span_manifest": media_span_manifest,
     "template_exploit_preparation": template_exploit_preparation,

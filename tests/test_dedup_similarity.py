@@ -115,6 +115,26 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.8, recall  # candidate generation must find true neighbors
 
 
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, queries, k=3).collect()
+    # near-random corpus → probe generously (8 of 16 cells); clustered real
+    # embeddings need far fewer probes for the same recall
+    approx = SIM.ivf_topk(emb, queries, k=3, n_clusters=16, n_probe=8).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, recall
+    # determinism: same seed → identical result rows
+    again = {(r.query_id, r.neighbor_id, r.cosine) for r in SIM.ivf_topk(
+        emb, queries, k=3, n_clusters=16, n_probe=8).collect()}
+    assert {(r.query_id, r.neighbor_id, r.cosine) for r in approx} == again
+    # full probe degenerates to exact
+    full = SIM.ivf_topk(emb, queries, k=3, n_clusters=16, n_probe=16).collect()
+    assert {(r.query_id, r.neighbor_id) for r in full} == exact_set
+
+
 def test_media_pipeline(spark):
     from knowledge_graph_rag_spark import synth
     from knowledge_graph_rag_spark.operators.extract import explode_spans
