@@ -370,6 +370,62 @@ def hourly_activity(spark, sf_dir):
 
 
 @q(
+    "session_counts",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    ), spans AS (
+      SELECT user_id, sess_id, count(*) AS n_events,
+             date_diff('second', min(ts), max(ts)) AS dur_sec
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           max(n_events) AS max_session_events,
+           round(avg(dur_sec), 2) AS avg_session_sec
+    FROM spans GROUP BY user_id
+    """,
+)
+def session_counts(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min inactivity gap): lag → new-
+    session marker → running-sum session ids → per-session spans → per-user
+    rollup. The streaming counterpart is the native session_window agg in
+    streaming/windows.py; this is the batch window-function form, both
+    engines sharing the (ts, event_id) total tiebreak."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    marked = e.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.col("ts").cast("timestamp").cast("long")) - F.min(F.col("ts").cast("timestamp").cast("long"))).alias(
+            "dur_sec"
+        ),
+    )
+    return spans.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.avg("dur_sec"), 2).alias("avg_session_sec"),
+    )
+
+
+@q(
     "active_users_union",
     """
     SELECT count(*) AS unique_users FROM (

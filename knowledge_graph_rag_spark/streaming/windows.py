@@ -14,6 +14,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    key_col: str = "source_ip",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization with the NATIVE session_window operator —
+    state is managed JVM-side (merging session state per key, watermark
+    eviction), no custom applyInPandasWithState needed for this shape.
+
+    The batch counterpart (identical semantics, window-function form with a
+    lag/running-sum island id) is the driver entry ``session_counts`` —
+    pinned equal on a static frame by test_session_window_batch_parity.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sess"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "key",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "timestamp",

@@ -345,3 +345,50 @@ def test_windowed_event_counts_batch_and_stream(spark, tmp_path):
         for r in spark.sql("select * from win_counts").collect()
     }
     assert stream_map == batch_map
+
+
+def test_session_window_batch_parity(spark):
+    """Native session_window sessionization equals the gaps-and-islands
+    window-function form (per key: same session count and same multiset of
+    per-session event counts) on the same static frame."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from knowledge_graph_rag_spark import synth
+    from knowledge_graph_rag_spark.streaming.windows import session_windows
+
+    logs = synth.network_logs_df(spark, 300).cache()
+    gap_sec = 120
+    native = session_windows(
+        logs, key_col="source_ip", gap=f"{gap_sec} seconds"
+    ).collect()
+    native_counts = Counter()
+    for r in native:
+        native_counts[(r.key, r.n_events)] += 1
+
+    w = Window.partitionBy("source_ip").orderBy("timestamp", "dest_port", "dest_ip")
+    ts = F.col("timestamp").cast("long")
+    islands = (
+        logs.withColumn(
+            "new_sess",
+            # session_window merges an event landing exactly at prev.ts+gap
+            # (window end is inclusive for the merge), so a NEW session needs
+            # a strictly larger gap
+            F.when(
+                F.lag(ts).over(w).isNull() | ((ts - F.lag(ts).over(w)) > gap_sec),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("source_ip", "sess_id")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    )
+    island_counts = Counter()
+    for r in islands:
+        island_counts[(r.source_ip, r.n_events)] += 1
+    assert native_counts == island_counts
