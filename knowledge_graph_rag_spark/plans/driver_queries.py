@@ -1195,6 +1195,101 @@ def doc_fingerprints(spark, sf_dir):
 
 
 @q(
+    "truncated_lengths",
+    """
+    SELECT doc_id, length(text) AS raw_len,
+           length(CASE WHEN length(text) > 400
+                       THEN substr(text, 1, 400) || '...'
+                       ELSE text END) AS capped_len
+    FROM documents
+    """,
+)
+def truncated_lengths(spark, sf_dir):
+    """P10 truncate semantics (graph_extractor.py:511-514: cap + ellipsis)
+    exercised through functions.text.truncate_col at a 400-char cap so the
+    branch actually fires on this corpus."""
+    from ..functions.text import truncate_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("raw_len"),
+        F.length(truncate_col(F.col("text"), 400)).cast("long").alias("capped_len"),
+    )
+
+
+@q(
+    "two_hop_contacts",
+    """
+    WITH e AS (
+      SELECT DISTINCT user_id, json_extract_string(props, '$.k') AS dest
+      FROM events
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           count(*) AS shared_dests
+    FROM e a JOIN e b USING (dest)
+    WHERE a.user_id < b.user_id
+    GROUP BY a.user_id, b.user_id
+    HAVING count(*) >= 35
+    """,
+)
+def two_hop_contacts(spark, sf_dir):
+    """J7 two-hop shape (path_analyzer 2-hop join): user –dest– user
+    co-occurrence pairs via the shared-destination equi-join."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.get_json_object("props", "$.k").alias("dest"))
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, "dest")
+        .filter(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(F.count("*").alias("shared_dests"))
+        .filter(F.col("shared_dests") >= 35)
+    )
+
+
+@q(
+    "anomaly_severity_histogram",
+    """
+    WITH per_user AS (
+      SELECT user_id, count(*) AS total FROM events GROUP BY user_id
+    )
+    SELECT CASE WHEN total > 90 THEN 'Critical'
+                WHEN total > 80 THEN 'High'
+                WHEN total > 70 THEN 'Medium'
+                ELSE 'Low' END AS severity,
+           count(*) AS n_users,
+           round(avg(total), 2) AS avg_events
+    FROM per_user GROUP BY 1
+    """,
+)
+def anomaly_severity_histogram(spark, sf_dir):
+    """A5 anomaly-summary shape (network_parser summary rollup): severity
+    CASE ladder histogram with per-bucket averages."""
+    per_user = (
+        _t(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("total"))
+    )
+    return (
+        per_user.withColumn(
+            "severity",
+            F.when(F.col("total") > 90, "Critical")
+            .when(F.col("total") > 80, "High")
+            .when(F.col("total") > 70, "Medium")
+            .otherwise("Low"),
+        )
+        .groupBy("severity")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg("total"), 2).alias("avg_events"),
+        )
+    )
+
+
+@q(
     "bpe_token_counts",
     """
     SELECT doc_id,
