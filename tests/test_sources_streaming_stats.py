@@ -347,6 +347,72 @@ def test_windowed_event_counts_batch_and_stream(spark, tmp_path):
     assert stream_map == batch_map
 
 
+def test_stateful_ewma_stream_matches_kernel(spark, tmp_path):
+    """applyInPandasWithState EWMA anomalies: the streamed result (two files →
+    two micro-batches, so state genuinely crosses a batch boundary) equals the
+    pure kernel applied per key in timestamp order — and a planted level
+    shift is flagged."""
+    import json as _json
+    from datetime import datetime, timedelta
+
+    from knowledge_graph_rag_spark.streaming.stateful import (
+        ewma_anomalies,
+        ewma_update,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for u in ("a", "b"):
+        for i in range(40):
+            v = 10.0 + (i % 3)  # stable signal
+            if u == "a" and i == 30:
+                v = 500.0  # planted level shift
+            rows.append({"user_id": u, "ts": base + timedelta(minutes=i), "value": v})
+    in_dir = tmp_path / "ewma_in"
+    in_dir.mkdir()
+    half = len(rows) // 2
+    by_ts = sorted(rows, key=lambda r: r["ts"])
+    for fname, chunk in (("f1.json", by_ts[:half]), ("f2.json", by_ts[half:])):
+        with open(in_dir / fname, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps({**r, "ts": r["ts"].isoformat()}) + "\n")
+
+    stream = spark.readStream.schema(
+        "user_id string, ts timestamp, value double"
+    ).json(str(in_dir))
+    q = (
+        ewma_anomalies(stream, alpha=0.3, z_thresh=4.0, warmup=5)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, str(r.ts)): (r.value, r.ewma, r.flagged)
+        for r in spark.sql("select * from ewma_out").collect()
+    }
+    assert len(got) == len(rows)
+
+    # pure-kernel expectation per key in ts order
+    for u in ("a", "b"):
+        series = [r for r in rows if r["user_id"] == u]
+        vals = [r["value"] for r in sorted(series, key=lambda r: r["ts"])]
+        expect, *_ = ewma_update(vals, 0.0, 0.0, 0, 0.3, 4.0, 5)
+        for r, (v, ewma_before, flagged) in zip(
+            sorted(series, key=lambda r: r["ts"]), expect
+        ):
+            gv, ge, gf = got[(u, str(r["ts"]))]
+            assert gv == v and gf == flagged
+            assert abs(ge - round(ewma_before, 6)) < 1e-9
+    # the planted shift was flagged; the stable key never was
+    assert got[("a", str(base + timedelta(minutes=30)))][2] is True
+    assert not any(f for (k, _), (_, _, f) in got.items() if k == "b")
+
+
 def test_session_window_batch_parity(spark):
     """Native session_window sessionization equals the gaps-and-islands
     window-function form (per key: same session count and same multiset of
