@@ -1195,6 +1195,32 @@ def doc_fingerprints(spark, sf_dir):
 
 
 @q(
+    "value_distribution_stats",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 3) AS p50,
+           round(quantile_cont(value, 0.95), 3) AS p95,
+           round(stddev_samp(value), 3) AS sd
+    FROM events GROUP BY event_type
+    """,
+)
+def value_distribution_stats(spark, sf_dir):
+    """Distribution stats per key: exact interpolated percentiles (Spark
+    percentile == DuckDB quantile_cont, both linear interpolation) + sample
+    stddev. The 100 TB path swaps percentile for percentile_approx (t-digest)
+    — kept exact here so the oracle can pin it."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 3).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 3).alias("p95"),
+            F.round(F.stddev_samp("value"), 3).alias("sd"),
+        )
+    )
+
+
+@q(
     "truncated_lengths",
     """
     SELECT doc_id, length(text) AS raw_len,
@@ -1649,6 +1675,59 @@ def ml_anomaly_flags(spark, sf_dir):
     )
 
 
+def csv_ingest_formats(spark, sf_dir):
+    """S1-S6 rows-only: sniff + convert one fixture CSV per format (UNSW
+    headerless, CICIDS2017, generic-alias) through convert_csv_to_logs,
+    rolled up by (format, action)."""
+    import os
+    import tempfile
+
+    from ..sources import csv_readers as CR
+
+    d = os.path.join(tempfile.gettempdir(), "kgrag_csv_fixture")
+    os.makedirs(d, exist_ok=True)
+    unsw_rows = []
+    for i in range(8):
+        unsw_rows.append(",".join(
+            [f"10.0.0.{i + 1}", "1024", "192.168.1.5", "80", "tcp", "FIN",
+             "1.5", "5000", "2000"] + ["0"] * 38
+            + (["Exploits", "1"] if i % 2 else ["", "0"])
+        ))
+    fixtures = {
+        "unsw.csv": "\n".join(unsw_rows),
+        "cicids.csv": (
+            " Destination Port, Flow Duration, Label\n"
+            "80,100,BENIGN\n22,50,PortScan\n443,70,DDoS\n3389,10,Bot\n"
+        ),
+        "generic.csv": (
+            "src_ip,dst_ip,dport,proto,bytes\n"
+            "1.2.3.4,5.6.7.8,443,tcp,100\n9.8.7.6,5.4.3.2,22,udp,50\n"
+        ),
+    }
+    for name, content in fixtures.items():
+        path = os.path.join(d, name)
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(content)
+    parts = []
+    for name in sorted(fixtures):
+        path = os.path.join(d, name)
+        fmt, _ = CR.detect_dataset_format(path)
+        parts.append(
+            CR.convert_csv_to_logs(spark, path).select(
+                F.lit(fmt).alias("fmt"), "action", "protocol"
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return (
+        out.groupBy("fmt", "action")
+        .agg(F.count("*").alias("n"), F.countDistinct("protocol").alias("protocols"))
+        .orderBy("fmt", "action")
+    )
+
+
 def ivf_topk_ann(spark, sf_dir):
     """IVF ANN rows-only (k-means centroid fit is not SQL-expressible):
     top-3 neighbors for 5 probe queries over the embeddings table."""
@@ -1667,6 +1746,7 @@ _ROWS_ONLY = {
     "doc_file_sources": doc_file_sources,
     "ml_anomaly_flags": ml_anomaly_flags,
     "ivf_topk_ann": ivf_topk_ann,
+    "csv_ingest_formats": csv_ingest_formats,
     "minhash_surface_candidates": minhash_surface_candidates,
     "media_span_manifest": media_span_manifest,
     "template_exploit_preparation": template_exploit_preparation,
