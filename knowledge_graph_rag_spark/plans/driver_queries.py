@@ -1722,6 +1722,35 @@ def ml_anomaly_flags(spark, sf_dir):
     )
 
 
+def merge_graph_stats(spark, sf_dir):
+    """A20/J2 rows-only: full semantic+telemetry merge over deterministic
+    synth inputs → the merge-statistics frame plus correlation count."""
+    from .. import synth
+    from ..operators import extract as X
+    from ..operators import graph_build as GB
+
+    mentions = X.resolve_mentions(
+        spark, X.extract_raw(X.explode_spans(synth.documents_df(spark, 300)))
+    )
+    triples = X.resolve_triples(
+        spark, X.extract_raw(X.explode_spans(synth.documents_df(spark, 300)))
+    )
+    s_nodes = GB.semantic_nodes(mentions, "kg_sem")
+    s_edges = GB.semantic_edges(triples, "kg_sem")
+    conns = N_score(spark)
+    t_nodes = GB.telemetry_nodes(conns, "kg_tel")
+    t_edges = GB.telemetry_edges(conns, "kg_tel")
+    _, _, stats = GB.merge_graphs(s_nodes, s_edges, t_nodes, t_edges, "kg_m")
+    return stats.orderBy("stat")
+
+
+def N_score(spark):
+    from .. import synth
+    from ..operators import network as N
+
+    return N.score_connections(N.parse_logs(synth.network_logs_df(spark, 500)))
+
+
 def csv_ingest_formats(spark, sf_dir):
     """S1-S6 rows-only: sniff + convert one fixture CSV per format (UNSW
     headerless, CICIDS2017, generic-alias) through convert_csv_to_logs,
@@ -1794,6 +1823,7 @@ _ROWS_ONLY = {
     "ml_anomaly_flags": ml_anomaly_flags,
     "ivf_topk_ann": ivf_topk_ann,
     "csv_ingest_formats": csv_ingest_formats,
+    "merge_graph_stats": merge_graph_stats,
     "minhash_surface_candidates": minhash_surface_candidates,
     "media_span_manifest": media_span_manifest,
     "template_exploit_preparation": template_exploit_preparation,

@@ -26,5 +26,5 @@ def test_rows_only_entries_documented():
         "media_span_manifest", "template_exploit_preparation",
         "template_network_topology", "graph_anomaly_detect_all",
         "docpack_attack_surface", "doc_file_sources", "ml_anomaly_flags",
-        "ivf_topk_ann", "csv_ingest_formats",
+        "ivf_topk_ann", "csv_ingest_formats", "merge_graph_stats",
     }
