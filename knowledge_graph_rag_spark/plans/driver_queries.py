@@ -1722,6 +1722,22 @@ def ml_anomaly_flags(spark, sf_dir):
     )
 
 
+def entity_pagerank(spark, sf_dir):
+    """Iterative PageRank rows-only (non-SQL-expressible): top-20 entities by
+    importance over the telemetry graph's connection edges."""
+    from ..operators.graphalgs import pagerank
+
+    _, edges = _telemetry_graph(spark)
+    ranks = pagerank(
+        edges.filter(F.col("rel_type") == "CONNECTED_TO"), max_iter=8
+    )
+    return (
+        ranks.select("node_id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node_id")
+        .limit(20)
+    )
+
+
 def merge_graph_stats(spark, sf_dir):
     """A20/J2 rows-only: full semantic+telemetry merge over deterministic
     synth inputs → the merge-statistics frame plus correlation count."""
@@ -1824,6 +1840,7 @@ _ROWS_ONLY = {
     "ivf_topk_ann": ivf_topk_ann,
     "csv_ingest_formats": csv_ingest_formats,
     "merge_graph_stats": merge_graph_stats,
+    "entity_pagerank": entity_pagerank,
     "minhash_surface_candidates": minhash_surface_candidates,
     "media_span_manifest": media_span_manifest,
     "template_exploit_preparation": template_exploit_preparation,

@@ -150,3 +150,37 @@ def test_cc_alternating_chain(spark):
     )
     cc = C.connected_components_alternating(edges).collect()
     assert {r.component for r in cc} == {"c00"} and len(cc) == n + 1
+
+
+def test_pagerank_vs_numpy_oracle(spark):
+    """PageRank equals a dense numpy power iteration (same damping, same
+    iteration count, same dangling handling) on a small digraph with a hub,
+    a chain, and a dangling node."""
+    import numpy as np
+
+    from knowledge_graph_rag_spark.operators.graphalgs import pagerank
+
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("e", "d"), ("c", "f"),  # f is dangling
+    ]
+    nodes = sorted({x for e in edge_list for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n, d = len(nodes), 0.85
+    out = {v: [w for (u, w) in edge_list if u == v] for v in nodes}
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        nxt = np.zeros(n)
+        dangling = sum(r[idx[v]] for v in nodes if not out[v])
+        for v in nodes:
+            for w in out[v]:
+                nxt[idx[w]] += r[idx[v]] / len(out[v])
+        r = (1 - d) / n + d * dangling / n + d * nxt
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {row.node_id: row.rank for row in pagerank(edges, max_iter=10).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # hub c (most in-links) outranks the chain tail e
+    assert got["c"] > got["e"]
