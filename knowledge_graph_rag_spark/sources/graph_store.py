@@ -338,6 +338,44 @@ class GraphStore:
             with open(os.path.join(spath, "_COMMITTED"), "w") as f:
                 json.dump({"snapshot": snap, "committed_at": time.time()}, f)
 
+    def vacuum(self, table: str, keep_last: int = 2) -> list[str]:
+        """Iceberg ``expire_snapshots`` analogue: delete partition version
+        dirs referenced by NO surviving snapshot manifest, keeping the last
+        ``keep_last`` committed snapshots (older snapshot dirs are dropped
+        too). Readers pinned to a surviving snapshot are unaffected — data
+        files are immutable and only unreferenced versions are removed.
+        Returns the deleted version-dir paths."""
+        snaps = self._snapshots(table)
+        if not snaps:
+            return []
+        keep = snaps[-keep_last:] if keep_last > 0 else snaps[-1:]
+        live: set[str] = set()
+        legacy_only = False
+        for snap in keep:
+            m = self._load_partition_manifest(table, snap)
+            if m is None:
+                legacy_only = True
+                continue
+            live.update(m.get("partitions", {}).values())
+        deleted: list[str] = []
+        data = self._data_dir(table)
+        if os.path.isdir(data) and not legacy_only:
+            for part in sorted(os.listdir(data)):
+                pdir = os.path.join(data, part)
+                if not (os.path.isdir(pdir) and part.startswith("graph_id=")):
+                    continue
+                for ver in sorted(os.listdir(pdir)):
+                    rel = f"{part}/{ver}"
+                    if ver.startswith("v=") and rel not in live:
+                        shutil.rmtree(os.path.join(pdir, ver), ignore_errors=True)
+                        deleted.append(rel)
+                if not os.listdir(pdir):
+                    os.rmdir(pdir)
+        for snap in snaps:
+            if snap not in keep:
+                shutil.rmtree(self._snapshot_path(table, snap), ignore_errors=True)
+        return deleted
+
     # --- manifest / resume (S9) -----------------------------------------------
 
     def _manifest_path(self) -> str:

@@ -118,6 +118,31 @@ def test_delete_graph_is_manifest_only(spark, store):
     assert store.list_graphs() == ["g2"]
 
 
+def test_vacuum_expires_unreferenced_versions(spark, store):
+    """vacuum removes version dirs no surviving snapshot references, keeps
+    everything the retained snapshots still point at, and current reads are
+    unchanged."""
+    n = _mini_nodes(spark, "g1", [("a", "A", "Person")])
+    e = _mini_edges(spark, "g1", [("a", "a", "KNOWS")])
+    store.store_graph(n, e)
+    for i in range(3):  # three rewrites of g1 → three superseded versions
+        store.store_graph(
+            _mini_nodes(spark, "g1", [("a", f"A{i}", "Person")]), e
+        )
+    store.store_graph(  # untouched second graph must survive
+        _mini_nodes(spark, "g2", [("b", "B", "Person")]),
+        _mini_edges(spark, "g2", [("b", "b", "KNOWS")]),
+    )
+    before = store.read("nodes").collect()
+    deleted = store.vacuum("nodes", keep_last=1)
+    assert deleted and all("graph_id=g1" in d for d in deleted)
+    after = store.read("nodes").collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    assert store.read("nodes").filter("graph_id = 'g2'").count() == 1
+    # old snapshot dirs are gone; exactly keep_last remain
+    assert len(store._snapshots("nodes")) == 1
+
+
 def test_merge_column_wise_coalesce(spark, store):
     """Neo4j `SET n += props`: an incoming NULL prop must not clobber an
     existing non-null value; incoming non-null wins."""
