@@ -14,6 +14,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def stream_dedup_exact(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for training-data ingestion: first-seen-wins on
+    the content hash within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state is one hash per distinct doc,
+    evicted once older than the watermark, so memory is bounded by the
+    horizon's distinct count, not the stream's length). Batch twin:
+    operators/dedup.dedup_exact."""
+    hashed = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    if docs.isStreaming:
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
+    return hashed.dropDuplicates(["content_hash"])
+
+
 def session_windows(
     events: DataFrame,
     ts_col: str = "timestamp",

@@ -347,6 +347,54 @@ def test_windowed_event_counts_batch_and_stream(spark, tmp_path):
     assert stream_map == batch_map
 
 
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming exact dedup: duplicates across micro-batches are dropped
+    within the watermark horizon; distinct texts all survive."""
+    import json as _json
+    from datetime import datetime, timedelta
+
+    from knowledge_graph_rag_spark.streaming.windows import stream_dedup_exact
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        rows.append({
+            "doc_id": f"d{i}",
+            "ts": (base + timedelta(minutes=i)).isoformat(),
+            "text": f"text-{i % 10}",  # each text repeats 3×
+        })
+    in_dir = tmp_path / "dd_in"
+    in_dir.mkdir()
+    for fname, chunk in (("f1.json", rows[:15]), ("f2.json", rows[15:])):
+        with open(in_dir / fname, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+    stream = spark.readStream.schema("doc_id string, ts timestamp, text string").json(
+        str(in_dir)
+    )
+    q = (
+        stream_dedup_exact(stream)
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dd_out").collect()
+    assert len(got) == 10
+    assert {r.text for r in got} == {f"text-{i}" for i in range(10)}
+    # batch twin agrees on the kept set size
+    batch = stream_dedup_exact(
+        spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in rows], "doc_id string, text string"
+        ).withColumn("ts", F.current_timestamp())
+    )
+    assert batch.count() == 10
+
+
 def test_stateful_ewma_stream_matches_kernel(spark, tmp_path):
     """applyInPandasWithState EWMA anomalies: the streamed result (two files →
     two micro-batches, so state genuinely crosses a batch boundary) equals the
