@@ -52,22 +52,29 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(out_deg.withColumnRenamed("src", "node_id"), "node_id", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        # dangling mass (rank held by nodes with no out-edges) stays IN the
+        # plan as a broadcast 1-row aggregate — a driver-side .first() here
+        # would launch an extra job per iteration AND recompute the whole
+        # uncheckpointed lineage twice per round
+        dangling = F.broadcast(
+            ranks.join(
+                out_deg.withColumnRenamed("src", "node_id"), "node_id", "left_anti"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs.withColumnRenamed("dst", "node_id"), "node_id", "left")
+            .crossJoin(dangling)
             .select(
                 "node_id",
-                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("dmass") / n
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
             )
         )
         if (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            # eager: materialize the last few rounds once, truncating lineage
+            # (ranks feeds both contribs and the dangling agg next round)
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node_id", F.col("rank").cast("double").alias("rank"))

@@ -61,6 +61,8 @@ class NumpyIsolationForest:
     def fit(self, X: np.ndarray) -> "NumpyIsolationForest":
         rng = np.random.default_rng(self.seed)
         n = X.shape[0]
+        if n == 0:
+            raise ValueError("cannot fit an isolation forest on 0 rows")
         self.psi = min(self.max_samples, n)
         depth_limit = int(np.ceil(np.log2(max(self.psi, 2))))
         self.trees = []
@@ -110,6 +112,8 @@ class NumpyIsolationForest:
 
     def score_samples(self, X: np.ndarray) -> np.ndarray:
         """Anomaly score in (0, 1]; higher = more anomalous (2^(−E[h]/c(ψ)))."""
+        if self.psi <= 1:  # degenerate 1-row fit: c(ψ)=0, no signal
+            return np.full(X.shape[0], 0.5)
         h = np.zeros(X.shape[0])
         for tree in self.trees:
             h += self._path_lengths(tree, X)
@@ -174,6 +178,12 @@ def ml_scores(scored_conns: DataFrame, sample_rows: int = 10000,
     feats = feature_frame(scored_conns)
     sample = feats.limit(sample_rows).toPandas()
     xs = sample[_FEATURES].to_numpy(dtype=float)
+    if xs.shape[0] < 2:
+        raise ValueError(
+            f"ml_scores needs ≥2 training rows, got {xs.shape[0]} — "
+            "use the rule-based score_connections path for tiny batches "
+            "(the reference's own small-batch fallback, anomaly_detector.py:134)"
+        )
     mean, std = xs.mean(axis=0), xs.std(axis=0)
     std[std == 0.0] = 1.0
 
@@ -184,33 +194,29 @@ def ml_scores(scored_conns: DataFrame, sample_rows: int = 10000,
             (xs - mean) / std
         )
 
-        def scores_of(x):
-            return -model.score_samples(x)
-
-        def flags_of(x):
-            return model.predict(x) == -1
+        def score_and_flag(x):
+            return -model.score_samples(x), model.predict(x) == -1
     else:
         model = NumpyIsolationForest(seed=seed).fit((xs - mean) / std)
         threshold = float(
             np.quantile(model.score_samples((xs - mean) / std), 1.0 - contamination)
         )
 
-        def scores_of(x):
-            return model.score_samples(x)
-
-        def flags_of(x):
-            return model.score_samples(x) > threshold
+        def score_and_flag(x):
+            s = model.score_samples(x)  # one forest walk per batch
+            return s, s > threshold
 
     out_schema = "conn_id string, ml_score double, ml_anomaly boolean"
 
     def score(batches):
         for pdf in batches:
             x = (pdf[_FEATURES].to_numpy(dtype=float) - mean) / std
+            s, flags = score_and_flag(x)
             yield pd.DataFrame(
                 {
                     "conn_id": pdf["conn_id"],
-                    "ml_score": scores_of(x),
-                    "ml_anomaly": flags_of(x),
+                    "ml_score": s,
+                    "ml_anomaly": flags,
                 }
             )
 

@@ -171,11 +171,17 @@ def ivf_topk(
     """IVF ANN top-k: vectors live in their single nearest cell; queries probe
     their ``n_probe`` nearest cells; exact cosine verify inside probed cells.
     Recall rises with n_probe (n_probe = n_clusters degenerates to exact)."""
-    sample = np.stack(
-        [np.asarray(r[0], dtype=np.float64)
-         for r in vectors.select(_as_double(F.col(vec_col))).limit(sample_rows).collect()]
-    )
-    centroids = fit_centroids(sample, n_clusters, seed)
+    sample_rows_data = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in vectors.select(_as_double(F.col(vec_col))).limit(sample_rows).collect()
+    ]
+    if not sample_rows_data:
+        # empty corpus → empty result with the contract schema (matches the
+        # brute-force/LSH paths' behavior)
+        return vectors.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    centroids = fit_centroids(np.stack(sample_rows_data), n_clusters, seed)
 
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("e")

@@ -403,10 +403,15 @@ def session_counts(spark, sf_dir):
     engines sharing the (ts, event_id) total tiebreak."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    # microsecond-exact gap (double epoch): DuckDB's `ts - lag(ts) >
+    # INTERVAL 30 MINUTE` compares exact intervals, so flooring to whole
+    # seconds here could segment a gap that lands within 1s of the boundary
+    # differently
+    ts_d = F.col("ts").cast("timestamp").cast("double")
+    gap = ts_d - F.lag(ts_d).over(w)
     marked = e.withColumn(
         "new_sess",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 30.0 * 60.0), 1).otherwise(0),
     )
     sess = marked.withColumn(
         "sess_id",
@@ -1745,12 +1750,9 @@ def merge_graph_stats(spark, sf_dir):
     from ..operators import extract as X
     from ..operators import graph_build as GB
 
-    mentions = X.resolve_mentions(
-        spark, X.extract_raw(X.explode_spans(synth.documents_df(spark, 300)))
-    )
-    triples = X.resolve_triples(
-        spark, X.extract_raw(X.explode_spans(synth.documents_df(spark, 300)))
-    )
+    raw = X.extract_raw(X.explode_spans(synth.documents_df(spark, 300)))
+    mentions = X.resolve_mentions(spark, raw)
+    triples = X.resolve_triples(spark, raw)
     s_nodes = GB.semantic_nodes(mentions, "kg_sem")
     s_edges = GB.semantic_edges(triples, "kg_sem")
     conns = N_score(spark)

@@ -63,13 +63,15 @@ def html_to_text(col):
         col, r"(?is)<(script|style)[^>]*>.*?</(script|style)>", ""
     )
     no_tags = F.regexp_replace(no_blocks, r"(?s)<[^>]+>", "\n")
-    decoded = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(no_tags, r"&amp;", "&"), r"&lt;", "<"
-        ),
-        r"&(gt|quot|#39|nbsp);",
-        " ",
-    )
+    # standard entity-decode order: named entities first, &amp; LAST —
+    # decoding &amp; first double-decodes escaped text ('&amp;lt;' → '<')
+    decoded = no_tags
+    for pat, rep in (
+        (r"&lt;", "<"), (r"&gt;", ">"), (r"&quot;", "\""),
+        (r"&#39;", "'"), (r"&nbsp;", " "),
+    ):
+        decoded = F.regexp_replace(decoded, pat, rep)
+    decoded = F.regexp_replace(decoded, r"&amp;", "&")
     squeezed = F.regexp_replace(decoded, r"[ \t]+", " ")
     collapsed = F.regexp_replace(squeezed, r"\s*\n\s*(\n\s*)*", "\n")
     return F.regexp_replace(collapsed, r"^\s+|\s+$", "")

@@ -43,9 +43,16 @@ import os
 import shutil
 import time
 
+from urllib.parse import unquote
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _unescape_partition(value: str) -> str:
+    """Invert Hive/Spark partition-path escaping (%XX sequences)."""
+    return unquote(value)
 
 
 class GraphStore:
@@ -113,10 +120,19 @@ class GraphStore:
         for name in sorted(os.listdir(tmp)):
             if not name.startswith("graph_id="):
                 continue
-            gid = name.split("=", 1)[1]
+            # manifest keys are the UNESCAPED graph_id (Spark hive-escapes
+            # special chars in partition dir names: 'a/b' → 'a%2Fb')
+            gid = _unescape_partition(name.split("=", 1)[1])
             part_dir = os.path.join(self._data_dir(table), name)
             os.makedirs(part_dir, exist_ok=True)
-            os.rename(os.path.join(tmp, name), os.path.join(part_dir, f"v={snap}"))
+            dest = os.path.join(part_dir, f"v={snap}")
+            # a crashed previous attempt (died before _COMMITTED) can leave
+            # an unreferenced dest dir with this snap number — it is garbage
+            # by construction (no committed manifest points at it), so
+            # replace it instead of wedging every retry with ENOTEMPTY
+            if os.path.exists(dest):
+                shutil.rmtree(dest)
+            os.rename(os.path.join(tmp, name), dest)
             changed[gid] = f"{name}/v={snap}"
         shutil.rmtree(tmp, ignore_errors=True)
         partitions = {

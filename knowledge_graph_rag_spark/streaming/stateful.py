@@ -9,8 +9,11 @@ then folded into the state. This is the streaming twin of the batch
 detectors' mean+2σ rule (A6) — but *online*, order-dependent, and with
 exponential forgetting, which no combination of window aggs reproduces.
 
-Rows inside each group are processed in (ts, tiebreak) order; state is three
-doubles per key, so memory is O(distinct keys) regardless of stream length.
+Rows inside each group are processed in (ts, tiebreak) order; persistent
+state is three doubles per key, so state memory is O(distinct keys)
+regardless of stream length (one key's micro-batch is buffered transiently
+to establish total order across Arrow chunks — bound it with the trigger
+interval / maxFilesPerTrigger, not with state config).
 The same update kernel (:func:`ewma_update`) is pure Python over numpy rows
 and is reused by the batch-parity test — stream(availableNow) must equal the
 kernel applied per key in timestamp order.
@@ -78,21 +81,27 @@ def ewma_anomalies(
             mean, var, n = state.get
         else:
             mean, var, n = 0.0, 0.0, 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values([ts_col, value_col])
-            rows, mean, var, n = ewma_update(
-                pdf[value_col].astype(float).tolist(),
-                mean, var, n, alpha, z_thresh, warmup,
-            )
-            yield pd.DataFrame(
-                {
-                    "key": [str(key[0])] * len(pdf),
-                    "ts": pdf[ts_col].to_numpy(),
-                    "value": [r[0] for r in rows],
-                    "ewma": [round(r[1], 6) for r in rows],
-                    "flagged": [r[2] for r in rows],
-                }
-            )
+        # A key's micro-batch arrives as MULTIPLE Arrow chunks with no
+        # cross-chunk ordering guarantee (split at arrow.maxRecordsPerBatch):
+        # concatenate first, sort ONCE, then fold — sorting chunks
+        # independently would feed the order-dependent kernel out of ts
+        # order for keys with >batch-size events.
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values([ts_col, value_col])
+        rows, mean, var, n = ewma_update(
+            pdf[value_col].astype(float).tolist(),
+            mean, var, n, alpha, z_thresh, warmup,
+        )
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(pdf),
+                "ts": pdf[ts_col].to_numpy(),
+                "value": [r[0] for r in rows],
+                "ewma": [round(r[1], 6) for r in rows],
+                "flagged": [r[2] for r in rows],
+            }
+        )
         state.update((float(mean), float(var), int(n)))
 
     return (

@@ -118,6 +118,49 @@ def test_delete_graph_is_manifest_only(spark, store):
     assert store.list_graphs() == ["g2"]
 
 
+def test_commit_retry_after_crashed_write(spark, store):
+    """A commit that died after moving version dirs but before _COMMITTED
+    must not wedge the retry (ENOTEMPTY on rename): the unreferenced garbage
+    dir is replaced."""
+    import os
+
+    n = _mini_nodes(spark, "g1", [("a", "A", "Person")])
+    e = _mini_edges(spark, "g1", [("a", "a", "KNOWS")])
+    store.store_graph(n, e)
+    # simulate a crashed attempt at the NEXT snap number: orphan version dir
+    # with no committed manifest referencing it
+    next_snap = store.current_snapshot("nodes") + 1
+    orphan = os.path.join(store.root, "nodes", "data", "graph_id=g1",
+                          f"v={next_snap}")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    # retry must succeed and the committed data must be the retried write's
+    store.store_graph(
+        _mini_nodes(spark, "g1", [("a", "A-retried", "Person")]), e
+    )
+    assert store.read("nodes").first().label == "A-retried"
+
+
+def test_graph_id_with_special_chars(spark, store):
+    """Hive-escaped partition dir names round-trip: manifest keys are the
+    UNESCAPED graph_id, so merge/delete/list address the same partition."""
+    gid = "tenant:a/b c"
+    store.store_graph(
+        _mini_nodes(spark, gid, [("x", "X", "Person")]),
+        _mini_edges(spark, gid, [("x", "x", "KNOWS")]),
+    )
+    assert store.list_graphs() == [gid]
+    store.store_graph_merge(
+        _mini_nodes(spark, gid, [("y", "Y", "Port")]),
+        _mini_edges(spark, gid, [("x", "y", "USES_PORT")]),
+        gid,
+    )
+    assert store.read("nodes").filter(F.col("graph_id") == gid).count() == 2
+    store.delete_graph(gid)
+    assert store.list_graphs() == []
+
+
 def test_vacuum_expires_unreferenced_versions(spark, store):
     """vacuum removes version dirs no surviving snapshot references, keeps
     everything the retained snapshots still point at, and current reads are
