@@ -370,6 +370,35 @@ def hourly_activity(spark, sf_dir):
 
 
 @q(
+    "cumulative_user_spend",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS cum_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS event_seq
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def cumulative_user_spend(spark, sf_dir):
+    """Running total per key (the cumulative W-shape): one Exchange + sort
+    shared by both window functions."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+            ).alias("cum_value"),
+            F.row_number().over(w).alias("event_seq"),
+        )
+    )
+
+
+@q(
     "session_counts",
     """
     WITH marked AS (
