@@ -53,6 +53,32 @@ def test_graph_overview(kg):
     assert all(len(r.examples) <= 5 for r in rows)
 
 
+def test_spark_submit_pyfiles_launch(tmp_path):
+    """The north rule's actual launch path: `spark-submit --py-files kgrs.zip
+    jobs/kg_submit.py`. The job script is copied OUTSIDE the repo so the
+    engine package can only come from the zip (exactly a cluster submit)."""
+    import shutil
+
+    from jobs.make_pyfiles import build
+
+    zip_path = build(str(tmp_path / "kgrs.zip"))
+    job = tmp_path / "jobs" / "kg_submit.py"
+    job.parent.mkdir()
+    shutil.copy("/root/repo/jobs/kg_submit.py", job)
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+    wh = str(tmp_path / "wh")
+    out = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path,
+         str(job), "--synthesize", "60", "--warehouse", wh,
+         "--graph-id", "kgz", "--no-lsh"],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["counts"]["triples"] > 0 and "kgz" in res["graphs"]
+
+
 def test_kg_submit_job(tmp_path):
     """Drive the spark-submit entry point as a real CLI, twice (resume)."""
     wh = str(tmp_path / "wh")
