@@ -107,6 +107,30 @@ def test_graph_table_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "graph_id" in plan.split("PartitionFilters")[1].splitlines()[0]
 
 
+def test_session_counts_single_exchange(spark):
+    """Gaps-and-islands sessionization: ONE Exchange total — both window
+    functions and both rollup aggregates reuse the user_id partitioning."""
+    import re
+
+    from knowledge_graph_rag_spark.plans import driver_queries as DQ
+
+    plan = _plan(DQ.session_counts(spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:1200]
+    assert plan.count("Window") >= 2
+
+
+def test_shipping_priority_plan(spark):
+    """Q3 shape: filters pushed into all three scans, broadcast joins,
+    distributed top-k (no global sort)."""
+    from knowledge_graph_rag_spark.plans import driver_queries as DQ
+
+    plan = _plan(DQ.shipping_priority(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan and "LessThan(o_orderdate" in plan
+
+
 def test_ml_anomaly_gated():
     from knowledge_graph_rag_spark.operators import ml_anomaly as ML
 
