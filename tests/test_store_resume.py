@@ -262,6 +262,37 @@ def test_pipeline_resume_after_partial_failure(spark, store, tmp_path):
     assert got_nodes == ref_nodes
 
 
+def test_incremental_equals_from_scratch(spark, store, tmp_path):
+    """pipeline.run on docs[0:100] then run_incremental on docs[100:160]
+    yields EXACTLY the nodes/edges of a from-scratch run over all 160 docs;
+    re-running the increment is a no-op."""
+    all_docs = synth.documents_df(spark, 160).cache()
+    first = all_docs.filter(F.col("doc_id") < "doc00000100")
+    rest = all_docs.filter(F.col("doc_id") >= "doc00000100")
+    assert first.count() + rest.count() == 160
+
+    ref_store = GraphStore(spark, str(tmp_path / "ref_wh"))
+    pipeline.run(spark, all_docs, ref_store, graph_id="kg", run_id="ref",
+                 enable_lsh_canonicalization=False)
+
+    pipeline.run(spark, first, store, graph_id="kg", run_id="r1",
+                 enable_lsh_canonicalization=False)
+    res = pipeline.run_incremental(spark, rest, store, graph_id="kg",
+                                   run_id="inc1")
+    assert res.stages_run == ["incremental"] and res.counts["new_triples"] > 0
+
+    for table in ("nodes", "edges"):
+        got = {tuple(r) for r in store.read(table).collect()}
+        ref = {tuple(r) for r in ref_store.read(table).collect()}
+        assert got == ref, (table, len(got), len(ref))
+
+    # idempotent re-run
+    res2 = pipeline.run_incremental(spark, rest, store, graph_id="kg",
+                                    run_id="inc1")
+    assert res2.stages_skipped == ["incremental"]
+    assert store.read("nodes").count() == ref_store.read("nodes").count()
+
+
 def test_lineage_metrics_written(spark, store):
     docs = synth.documents_df(spark, 20)
     pipeline.run(spark, docs, store, graph_id="kg", run_id="r1",
