@@ -1276,6 +1276,29 @@ def doc_fingerprints(spark, sf_dir):
 
 
 @q(
+    "hash_sampled_docs",
+    """
+    SELECT count(*) AS n_sampled,
+           sum(n_chars)::BIGINT AS chars,
+           count(DISTINCT doc_id) AS n_docs
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT < 6553
+    """,
+)
+def hash_sampled_docs(spark, sf_dir):
+    """Deterministic 10% hash sample (training-data curation): membership is
+    a pure function of md5(doc_id), identical across engines, partitionings,
+    and cluster sizes — unlike DataFrame.sample."""
+    from ..operators.sampling import hash_sample
+
+    return hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.1).agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@q(
     "value_distribution_stats",
     """
     SELECT event_type,

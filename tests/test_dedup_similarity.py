@@ -231,3 +231,25 @@ def test_open_ner_mentions(spark):
     assert {"Quantum Dynamics Lab", "Zephyr Project", "Model X9"} <= labels
     assert "Acme Corp" not in labels and "Alice Johnson" not in labels
     assert all(r.type == "Concept" and r.entity_class == "semantic" for r in rows)
+
+
+def test_hash_sample_partition_independent(spark):
+    """Deterministic sampling: identical membership regardless of
+    partitioning; stratified fractions hold per stratum."""
+    from knowledge_graph_rag_spark.operators import sampling as SP
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(4000)], "id int, lang string"
+    )
+    a = {r.id for r in SP.hash_sample(df, "id", 0.2).collect()}
+    b = {r.id for r in SP.hash_sample(df.repartition(17), "id", 0.2).collect()}
+    assert a == b and 0.15 < len(a) / 4000 < 0.25
+    # monotone: a smaller fraction is a subset of a larger one
+    small = {r.id for r in SP.hash_sample(df, "id", 0.05).collect()}
+    assert small <= a
+    strat = SP.stratified_hash_sample(
+        df, "id", "lang", {"en": 0.1, "de": 1.0}
+    ).groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in strat}
+    assert by["de"] == len([i for i in range(4000) if i % 3 == 0])
+    assert 0.05 < by["en"] / (4000 * 2 / 3) < 0.15
