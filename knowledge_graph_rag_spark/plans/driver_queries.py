@@ -1779,6 +1779,21 @@ def ml_anomaly_flags(spark, sf_dir):
     )
 
 
+def winnow_passage_pairs(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints rows-only (shift-robust dedup;
+    the hash pipeline is not SQL-expressible): shared-passage doc pairs."""
+    from ..operators import fingerprint as FP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return (
+        FP.shared_passage_pairs(docs, min_shared=8)
+        .orderBy(F.desc("shared_fps"), "id_a", "id_b")
+        .limit(50)
+    )
+
+
 def entity_pagerank(spark, sf_dir):
     """Iterative PageRank rows-only (non-SQL-expressible): top-20 entities by
     importance over the telemetry graph's connection edges."""
@@ -1895,6 +1910,7 @@ _ROWS_ONLY = {
     "csv_ingest_formats": csv_ingest_formats,
     "merge_graph_stats": merge_graph_stats,
     "entity_pagerank": entity_pagerank,
+    "winnow_passage_pairs": winnow_passage_pairs,
     "minhash_surface_candidates": minhash_surface_candidates,
     "media_span_manifest": media_span_manifest,
     "template_exploit_preparation": template_exploit_preparation,

@@ -253,3 +253,32 @@ def test_hash_sample_partition_independent(spark):
     by = {r.lang: r["count"] for r in strat}
     assert by["de"] == len([i for i in range(4000) if i % 3 == 0])
     assert 0.05 < by["en"] / (4000 * 2 / 3) < 0.15
+
+
+def test_winnowing_fingerprints(spark):
+    """Rolling-hash winnowing: a doc and its shifted copy share most
+    fingerprints (md5 would share none); unrelated docs share ~none; the
+    pure-python kernel and the Spark op agree."""
+    from knowledge_graph_rag_spark.operators import fingerprint as FP
+
+    passage = ("the migration copied every partition manifest into the new "
+               "catalog before committing the snapshot marker atomically")
+    rows = [
+        (1, passage),
+        (2, "PREFIX INSERTED AT THE FRONT. " + passage),  # shifted copy
+        (3, "completely unrelated content about cooking pasta with garlic "
+            "and olive oil on a tuesday evening dinner"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {}
+    for r in FP.winnow_fingerprints(df).collect():
+        got.setdefault(r.id, set()).add(r.fingerprint)
+    # Spark op equals the local kernel
+    for i, t in rows:
+        assert got.get(i, set()) == set(FP.winnow(t)), i
+    shared_12 = len(got[1] & got[2])
+    assert shared_12 / len(got[1]) > 0.7  # shift-robust
+    assert len(got[1] & got[3]) <= 1
+    pairs = {(r.id_a, r.id_b): r.shared_fps
+             for r in FP.shared_passage_pairs(df, min_shared=5).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs

@@ -27,5 +27,5 @@ def test_rows_only_entries_documented():
         "template_network_topology", "graph_anomaly_detect_all",
         "docpack_attack_surface", "doc_file_sources", "ml_anomaly_flags",
         "ivf_topk_ann", "csv_ingest_formats", "merge_graph_stats",
-        "entity_pagerank",
+        "entity_pagerank", "winnow_passage_pairs",
     }
