@@ -125,6 +125,126 @@ def decode_media(catalog: DataFrame) -> DataFrame:
     return catalog.repartition("fetch_bucket").mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def sample_frames(decoded: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling: one row per sampled frame, uniformly spaced over
+    the clip — (doc_id, span_order, media_ref, frame_index, timestamp_ms,
+    frame_bytes, decode_status). mapInPandas so a real decoder (pyav/ffmpeg
+    seek-and-decode at the sampled timestamps — NOT IMPLEMENTED in this
+    container) slots into the same batch shape; the stub slices the container
+    bytes deterministically per frame so downstream plumbing is real."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("span_order", T.IntegerType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("timestamp_ms", T.LongType()),
+            T.StructField("frame_bytes", T.BinaryType()),
+            T.StructField("decode_status", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    content = bytes(row.content)
+                    # stub duration: derived from content hash (a real decoder
+                    # reads the container header)
+                    duration_ms = 1000 + hashlib.sha256(content).digest()[0] * 40
+                    step = max(len(content) // n_frames, 1)
+                    for i in range(n_frames):
+                        out.append(
+                            {
+                                "doc_id": row.doc_id,
+                                "span_order": row.span_order,
+                                "media_ref": row.media_ref,
+                                "frame_index": i,
+                                "timestamp_ms": (duration_ms * i) // n_frames,
+                                "frame_bytes": content[i * step:(i + 1) * step]
+                                or content[:step],
+                                "decode_status": "ok_stub",
+                            }
+                        )
+                except Exception as ex:  # noqa: BLE001 — poison-pill isolation
+                    out.append(
+                        {
+                            "doc_id": row.doc_id,
+                            "span_order": row.span_order,
+                            "media_ref": row.media_ref,
+                            "frame_index": -1,
+                            "timestamp_ms": None,
+                            "frame_bytes": None,
+                            "decode_status": f"error:{type(ex).__name__}",
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    videos = decoded.filter(
+        (F.col("kind") == "video") & F.col("decode_status").startswith("ok")
+    ).select("doc_id", "span_order", "media_ref", "content")
+    return videos.mapInPandas(run, schema=out_schema)
+
+
+def resize_images(decoded: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize to a fixed training shape — (…, width, height,
+    resized_bytes, decode_status). The resample itself (PIL Image.resize —
+    NOT IMPLEMENTED in this container) is stubbed with a deterministic
+    byte-fold to width*height; batch shape, schema, and per-row isolation
+    are the real contract."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("span_order", T.IntegerType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("resized_bytes", T.BinaryType()),
+            T.StructField("decode_status", T.StringType()),
+        ]
+    )
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    arr = np.frombuffer(bytes(row.content), dtype=np.uint8)
+                    reps = (target // max(arr.size, 1)) + 1
+                    resized = np.tile(arr, reps)[:target]
+                    out.append(
+                        {
+                            "doc_id": row.doc_id,
+                            "span_order": row.span_order,
+                            "media_ref": row.media_ref,
+                            "width": width,
+                            "height": height,
+                            "resized_bytes": resized.tobytes(),
+                            "decode_status": "ok_stub",
+                        }
+                    )
+                except Exception as ex:  # noqa: BLE001
+                    out.append(
+                        {
+                            "doc_id": row.doc_id,
+                            "span_order": row.span_order,
+                            "media_ref": row.media_ref,
+                            "width": None,
+                            "height": None,
+                            "resized_bytes": None,
+                            "decode_status": f"error:{type(ex).__name__}",
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    images = decoded.filter(
+        (F.col("kind") == "image") & F.col("decode_status").startswith("ok")
+    ).select("doc_id", "span_order", "media_ref", "content")
+    return images.mapInPandas(run, schema=out_schema)
+
+
 @F.pandas_udf(T.ArrayType(T.FloatType()))
 def media_feature_udf(content: pd.Series) -> pd.Series:
     """Fixed-dim feature vector per media blob — byte histogram, L1-normalized

@@ -155,6 +155,29 @@ def test_media_pipeline(spark):
     again = MM.decode_media(catalog).filter(F.col("media_ref") == one.media_ref).first()
     assert bytes(one.content) == bytes(again.content)
 
+    # frame sampling: n uniformly-spaced frames per video, ts monotone
+    frames = MM.sample_frames(decoded, n_frames=4).collect()
+    n_videos = decoded.filter(F.col("kind") == "video").count()
+    if n_videos:
+        assert len(frames) == 4 * n_videos
+        by_ref = {}
+        for fr in frames:
+            by_ref.setdefault(fr.media_ref, []).append(fr)
+        for ref, fs in by_ref.items():
+            fs.sort(key=lambda r: r.frame_index)
+            ts = [r.timestamp_ms for r in fs]
+            assert ts == sorted(ts) and ts[0] == 0
+            assert all(r.decode_status == "ok_stub" and r.frame_bytes for r in fs)
+
+    # resize: fixed training shape for every image
+    resized = MM.resize_images(decoded, width=32, height=32).collect()
+    n_images = decoded.filter(F.col("kind") == "image").count()
+    assert len(resized) == n_images
+    assert all(
+        r.width == 32 and r.height == 32 and len(r.resized_bytes) == 32 * 32
+        for r in resized
+    )
+
 
 def test_salted_collect_set_equivalence(spark):
     df = spark.createDataFrame(
