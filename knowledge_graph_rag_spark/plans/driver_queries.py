@@ -1739,8 +1739,6 @@ def doc_file_sources(spark, sf_dir):
 
     from ..sources import documents as DS
 
-    d = os.path.join(tempfile.gettempdir(), "kgrag_docsrc_fixture")
-    os.makedirs(d, exist_ok=True)
     fixtures = {
         "a.txt": b"Acme Corp shipped Widget 3000 on January 5, 2024.",
         "b.html": b"<html><body><h1>Report</h1><p>Acme &amp; Globex</p>"
@@ -1749,6 +1747,11 @@ def doc_file_sources(spark, sf_dir):
         "d.pdf": b"%PDF-1.4 stub",
         "e.bin": b"\x00\x01\x02",
     }
+    import hashlib as _hl
+
+    tag = _hl.md5(repr(sorted(fixtures.items())).encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"kgrag_docsrc_{tag}")
+    os.makedirs(d, exist_ok=True)
     for name, content in fixtures.items():
         path = os.path.join(d, name)
         if not os.path.exists(path):
@@ -1845,8 +1848,6 @@ def csv_ingest_formats(spark, sf_dir):
 
     from ..sources import csv_readers as CR
 
-    d = os.path.join(tempfile.gettempdir(), "kgrag_csv_fixture")
-    os.makedirs(d, exist_ok=True)
     unsw_rows = []
     for i in range(8):
         unsw_rows.append(",".join(
@@ -1865,6 +1866,11 @@ def csv_ingest_formats(spark, sf_dir):
             "1.2.3.4,5.6.7.8,443,tcp,100\n9.8.7.6,5.4.3.2,22,udp,50\n"
         ),
     }
+    import hashlib as _hl
+
+    tag = _hl.md5(repr(sorted(fixtures.items())).encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"kgrag_csv_{tag}")
+    os.makedirs(d, exist_ok=True)
     for name, content in fixtures.items():
         path = os.path.join(d, name)
         if not os.path.exists(path):
