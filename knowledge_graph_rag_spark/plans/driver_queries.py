@@ -1276,6 +1276,66 @@ def doc_fingerprints(spark, sf_dir):
 
 
 @q(
+    "gopher_quality_flags",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_sym
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE round(list_sum(list_transform(w, x -> length(x))) * 1.0
+                             / len(w), 3) END AS mean_word_len,
+             CASE WHEN n_chars = 0 THEN 0.0
+                  ELSE round(n_sym * 1.0 / n_chars, 3) END AS symbol_ratio
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+           (n_words >= 5 AND n_words <= 100000
+            AND mean_word_len >= 2 AND mean_word_len <= 12
+            AND symbol_ratio <= 0.1) AS keep
+    FROM f
+    """,
+)
+def gopher_quality_flags(spark, sf_dir):
+    """Gopher-rule quality filtering (Rae et al. 2021, §A1.1 heuristics:
+    word-count bounds, mean word length 2-12, symbol ratio cap) — the
+    standard pretraining-corpus gate, all native expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    n_words = F.size(w)
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.aggregate(w, F.lit(0).cast("long"),
+                        lambda acc, x: acc + F.length(x)).cast("double")
+            / n_words,
+            3,
+        )
+    )
+    n_chars = F.length("text")
+    n_sym = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    sym_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        F.round(n_sym.cast("double") / n_chars, 3)
+    )
+    out = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_words") >= 5) & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12)
+        & (F.col("symbol_ratio") <= 0.1),
+    )
+
+
+@q(
     "hash_sampled_docs",
     """
     SELECT count(*) AS n_sampled,
