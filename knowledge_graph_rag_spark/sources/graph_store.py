@@ -354,6 +354,22 @@ class GraphStore:
             with open(os.path.join(spath, "_COMMITTED"), "w") as f:
                 json.dump({"snapshot": snap, "committed_at": time.time()}, f)
 
+    def compact_partition(self, table: str, graph_id: str,
+                          target_files: int = 1,
+                          sort_within: tuple[str, ...] = ()) -> None:
+        """Iceberg ``rewrite_data_files`` analogue: rewrite one partition's
+        accumulated small files (every incremental commit adds up to
+        shuffle-partition-count files) into ``target_files``, committed as a
+        normal snapshot. Content is unchanged; pair with vacuum() to reclaim
+        the superseded version dirs."""
+        part = self.read_partition(table, graph_id)
+        if part is None:
+            raise FileNotFoundError(f"no partition {graph_id} in {table}")
+        self._commit_partitions(
+            table, part.coalesce(target_files),
+            replace_table=False, sort_within=sort_within,
+        )
+
     def vacuum(self, table: str, keep_last: int = 2) -> list[str]:
         """Iceberg ``expire_snapshots`` analogue: delete partition version
         dirs referenced by NO surviving snapshot manifest, keeping the last

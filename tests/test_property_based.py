@@ -99,3 +99,51 @@ def test_normalize_key_stable(label, etype):
     k1, k2 = py_normalize(label, etype), py_normalize(label, etype)
     assert k1 == k2
     assert k1.split(":", 1)[0] in ("ip", "port", "protocol", "device", etype.lower())
+
+
+@given(st.text(min_size=0, max_size=2000))
+@settings(max_examples=60, deadline=None)
+def test_winnow_never_crashes_and_is_deterministic(text):
+    from knowledge_graph_rag_spark.operators.fingerprint import winnow
+
+    a, b = winnow(text), winnow(text)
+    assert a == b
+    assert all(isinstance(x, int) and 0 <= x < (1 << 31) - 1 for x in a)
+    if len(text) < 8:
+        assert a == []
+
+
+@given(st.text(min_size=60, max_size=400), st.text(min_size=0, max_size=40))
+@settings(max_examples=40, deadline=None)
+def test_winnow_shift_robust(body, prefix):
+    """Prepending text preserves most fingerprints of a long-enough body —
+    the rolling-hash property whole-document md5 lacks."""
+    from knowledge_graph_rag_spark.operators.fingerprint import winnow
+
+    base = set(winnow(body))
+    if len(base) < 10:
+        return  # degenerate (e.g. single repeated char) — no overlap claim
+    shifted = set(winnow(prefix + " " + body))
+    assert len(base & shifted) / len(base) > 0.5
+
+
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+             min_size=0, max_size=200),
+    st.floats(min_value=0.01, max_value=0.9),
+)
+@settings(max_examples=60, deadline=None)
+def test_ewma_update_invariants(values, alpha):
+    from knowledge_graph_rag_spark.streaming.stateful import ewma_update
+
+    rows, mean, var, n = ewma_update(values, 0.0, 0.0, 0, alpha, 3.0, 5)
+    assert n == len(values) and len(rows) == len(values)
+    assert var >= 0.0
+    # never flags during warmup
+    assert not any(flagged for (_, _, flagged) in rows[:5])
+    # incremental application equals one-shot application (state composes)
+    if len(values) > 3:
+        k = len(values) // 2
+        r1, m1, v1, n1 = ewma_update(values[:k], 0.0, 0.0, 0, alpha, 3.0, 5)
+        r2, m2, v2, n2 = ewma_update(values[k:], m1, v1, n1, alpha, 3.0, 5)
+        assert r1 + r2 == rows and (m2, v2, n2) == (mean, var, n)

@@ -186,6 +186,31 @@ def test_vacuum_expires_unreferenced_versions(spark, store):
     assert len(store._snapshots("nodes")) == 1
 
 
+def test_compact_partition(spark, store):
+    """Compaction rewrites one partition into few files with identical
+    content; other partitions' files untouched."""
+    import os
+
+    for gid in ("g1", "g2"):
+        for i in range(3):  # several commits → several files per partition
+            store.store_graph_merge(
+                _mini_nodes(spark, gid, [(f"{gid}-n{i}", f"L{i}", "Person")]),
+                _mini_edges(spark, gid, [(f"{gid}-n{i}", f"{gid}-n{i}", "KNOWS")]),
+                gid,
+            )
+    before_rows = {tuple(r) for r in store.read("nodes").collect()}
+    g2_files = {p for p in _data_files(store, "nodes") if "graph_id=g2" in p}
+    store.compact_partition("nodes", "g1", sort_within=("node_id",))
+    after_rows = {tuple(r) for r in store.read("nodes").collect()}
+    assert after_rows == before_rows
+    assert {p for p in _data_files(store, "nodes") if "graph_id=g2" in p} == g2_files
+    # current g1 version is a single data file
+    manifest = store._load_partition_manifest("nodes", store.current_snapshot("nodes"))
+    cur = os.path.join(store.root, "nodes", "data", manifest["partitions"]["g1"])
+    parqs = [f for f in os.listdir(cur) if f.endswith(".parquet")]
+    assert len(parqs) == 1
+
+
 def test_merge_column_wise_coalesce(spark, store):
     """Neo4j `SET n += props`: an incoming NULL prop must not clobber an
     existing non-null value; incoming non-null wins."""
