@@ -48,10 +48,11 @@ def winnow_fingerprints(
     k: int = 8, window: int = 4,
 ) -> DataFrame:
     """(id, fingerprint) exploded rows — join two docs' rows on fingerprint
-    to count shared passages."""
+    to count shared passages. The id column keeps the INPUT's type (string
+    doc_ids from the pipeline corpus work as well as the benchmark bigints)."""
     out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", df.schema[id_col].dataType),
             T.StructField("fingerprint", T.LongType()),
         ]
     )
@@ -74,8 +75,12 @@ def shared_passage_pairs(
 ) -> DataFrame:
     """Near-dup / shared-passage pairs: docs sharing ≥ min_shared winnowed
     fingerprints. Fingerprints with document frequency > max_df are dropped
-    before the join (same quadratic guard as ngram_jaccard_pairs)."""
-    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    before the join (same quadratic guard as ngram_jaccard_pairs). The
+    UDF-sourced fingerprint frame is checkpointed once — it feeds the df
+    aggregation AND both self-join sides (3 consumers)."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, window).localCheckpoint(
+        eager=False
+    )
     dfs = fp.groupBy("fingerprint").agg(F.count("*").alias("df"))
     fp_ok = fp.join(dfs.filter(F.col("df") <= max_df), "fingerprint", "left_semi")
     a, b = fp_ok.alias("a"), fp_ok.alias("b")

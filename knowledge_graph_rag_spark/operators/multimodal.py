@@ -212,6 +212,10 @@ def resize_images(decoded: DataFrame, width: int = 224, height: int = 224) -> Da
             for row in pdf.itertuples(index=False):
                 try:
                     arr = np.frombuffer(bytes(row.content), dtype=np.uint8)
+                    if arr.size == 0:
+                        # the fixed-shape contract can't hold for an empty
+                        # blob — poison-pill the row, don't claim ok
+                        raise ValueError("empty content")
                     reps = (target // max(arr.size, 1)) + 1
                     resized = np.tile(arr, reps)[:target]
                     out.append(

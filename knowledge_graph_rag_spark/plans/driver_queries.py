@@ -1280,9 +1280,11 @@ def doc_fingerprints(spark, sf_dir):
     """
     WITH m AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
+             list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                         x -> x <> '') AS w,
              length(text) AS n_chars,
-             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_sym
+             length(regexp_replace(text, '[A-Za-z0-9 \t\n\r\f]', '', 'g'))
+               AS n_sym
       FROM documents
     ), f AS (
       SELECT doc_id,
@@ -1306,7 +1308,10 @@ def gopher_quality_flags(spark, sf_dir):
     word-count bounds, mean word length 2-12, symbol ratio cap) — the
     standard pretraining-corpus gate, all native expressions."""
     docs = _t(spark, sf_dir, "documents")
-    w = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    # explicit whitespace class: Java \s matches \x0B, RE2's does not —
+    # the shared class keeps both engines identical on any corpus
+    ws = "[ \t\n\r\f]"
+    w = F.filter(F.split(F.col("text"), ws + "+"), lambda x: x != F.lit(""))
     n_words = F.size(w)
     mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
         F.round(
@@ -1317,7 +1322,7 @@ def gopher_quality_flags(spark, sf_dir):
         )
     )
     n_chars = F.length("text")
-    n_sym = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    n_sym = F.length(F.regexp_replace("text", "[A-Za-z0-9 \t\n\r\f]", ""))
     sym_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
         F.round(n_sym.cast("double") / n_chars, 3)
     )

@@ -246,14 +246,30 @@ def run_incremental(
     edges_new = GB.semantic_edges(triples_new, graph_id)
     old_nodes = store.read_partition("nodes", graph_id) if store.exists("nodes") else None
     old_edges = store.read_partition("edges", graph_id) if store.exists("edges") else None
+    # WHOLE-row dedup, not key-column dedup: node/edge rows are pure
+    # functions of the entity/triple, so identical rows are true re-unions
+    # (doc seen in both batches) while rows that merely collide in the
+    # 48-bit edge_id / node_id hash differ in other columns and must BOTH
+    # survive — exactly what a from-scratch run keeps. Map-typed columns
+    # (props) can't be dedup keys; they too are pure functions of the
+    # remaining columns, so dropping on the non-map set is equivalent.
+    from pyspark.sql import types as _T
+
+    def _dedup_all(df: DataFrame) -> DataFrame:
+        keys = [
+            f.name for f in df.schema.fields
+            if not isinstance(f.dataType, _T.MapType)
+        ]
+        return df.dropDuplicates(keys)
+
     if old_nodes is not None:
-        nodes_new = old_nodes.unionByName(
-            nodes_new, allowMissingColumns=True
-        ).dropDuplicates(["node_id"])
+        nodes_new = _dedup_all(
+            old_nodes.unionByName(nodes_new, allowMissingColumns=True)
+        )
     if old_edges is not None:
-        edges_new = old_edges.unionByName(
-            edges_new, allowMissingColumns=True
-        ).dropDuplicates(["edge_id"])
+        edges_new = _dedup_all(
+            old_edges.unionByName(edges_new, allowMissingColumns=True)
+        )
     store.store_graph(nodes_new, edges_new)
 
     metrics = partition_lineage(triples_new, run_id, "incremental_triples")

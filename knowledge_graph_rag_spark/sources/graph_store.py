@@ -362,6 +362,14 @@ class GraphStore:
         shuffle-partition-count files) into ``target_files``, committed as a
         normal snapshot. Content is unchanged; pair with vacuum() to reclaim
         the superseded version dirs."""
+        cur = self.current_snapshot(table)
+        if cur is None or self._load_partition_manifest(table, cur) is None:
+            # a legacy whole-dir snapshot has no partition manifest; a
+            # partial commit here would silently drop every other graph_id
+            raise ValueError(
+                f"table {table} has no partition manifest — rewrite it via "
+                "write_snapshot(partition_by=('graph_id',)) before compacting"
+            )
         part = self.read_partition(table, graph_id)
         if part is None:
             raise FileNotFoundError(f"no partition {graph_id} in {table}")

@@ -155,19 +155,31 @@ def test_media_pipeline(spark):
     again = MM.decode_media(catalog).filter(F.col("media_ref") == one.media_ref).first()
     assert bytes(one.content) == bytes(again.content)
 
-    # frame sampling: n uniformly-spaced frames per video, ts monotone
-    frames = MM.sample_frames(decoded, n_frames=4).collect()
-    n_videos = decoded.filter(F.col("kind") == "video").count()
-    if n_videos:
-        assert len(frames) == 4 * n_videos
-        by_ref = {}
-        for fr in frames:
-            by_ref.setdefault(fr.media_ref, []).append(fr)
-        for ref, fs in by_ref.items():
-            fs.sort(key=lambda r: r.frame_index)
-            ts = [r.timestamp_ms for r in fs]
-            assert ts == sorted(ts) and ts[0] == 0
-            assert all(r.decode_status == "ok_stub" and r.frame_bytes for r in fs)
+    # frame sampling: synth has no video spans, so plant decoded-shaped
+    # video rows explicitly (the operator only reads these 5 columns)
+    videos = spark.createDataFrame(
+        [
+            ("dv1", 0, "video", "m://dv1/0", bytes(range(200)), "ok_stub"),
+            ("dv2", 1, "video", "m://dv2/1", b"\x07" * 64, "ok_stub"),
+        ],
+        "doc_id string, span_order int, kind string, media_ref string, "
+        "content binary, decode_status string",
+    )
+    frames = MM.sample_frames(videos, n_frames=4).collect()
+    assert len(frames) == 4 * 2
+    by_ref = {}
+    for fr in frames:
+        by_ref.setdefault(fr.media_ref, []).append(fr)
+    for ref, fs in by_ref.items():
+        fs.sort(key=lambda r: r.frame_index)
+        ts = [r.timestamp_ms for r in fs]
+        assert ts == sorted(ts) and ts[0] == 0
+        assert all(r.decode_status == "ok_stub" and r.frame_bytes for r in fs)
+    # the planted 200-byte clip splits into 4 distinct 50-byte slices
+    dv1 = sorted(by_ref["m://dv1/0"], key=lambda r: r.frame_index)
+    assert [bytes(r.frame_bytes) for r in dv1] == [
+        bytes(range(200))[i * 50:(i + 1) * 50] for i in range(4)
+    ]
 
     # resize: fixed training shape for every image
     resized = MM.resize_images(decoded, width=32, height=32).collect()

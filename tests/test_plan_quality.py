@@ -114,7 +114,7 @@ def test_session_counts_single_exchange(spark):
 
     from knowledge_graph_rag_spark.plans import driver_queries as DQ
 
-    plan = _plan(DQ.session_counts(spark, "/root/testdata/sf0.001"))
+    plan = _plan(DQ.session_counts(spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:1200]
     assert plan.count("Window") >= 2
 
@@ -124,7 +124,7 @@ def test_shipping_priority_plan(spark):
     distributed top-k (no global sort)."""
     from knowledge_graph_rag_spark.plans import driver_queries as DQ
 
-    plan = _plan(DQ.shipping_priority(spark, "/root/testdata/sf0.001"))
+    plan = _plan(DQ.shipping_priority(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
