@@ -209,6 +209,92 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_clusters: int = 64,
+    sample_rows: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Persist an IVF index: vectors written as parquet PARTITIONED BY their
+    nearest-centroid cell, centroids saved alongside. A probe then reads
+    exactly ``n_probe`` partitions (PartitionFilters at the scan — pinned by
+    test_ivf_index_partition_pruning), so query cost is corpus-size-
+    independent for fixed cell occupancy. Returns the centroids."""
+    import json
+    import os
+
+    sample = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in vectors.select(_as_double(F.col(vec_col))).limit(sample_rows).collect()
+    ]
+    if not sample:
+        raise ValueError("cannot build an IVF index over an empty table")
+    centroids = fit_centroids(np.stack(sample), n_clusters, seed)
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("e")
+    )
+    _assign_cells(v, centroids, "e", 1).select(
+        "vec_id", "e", F.get("cells", 0).alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_CENTROIDS.json"), "w") as f:
+        json.dump(centroids.tolist(), f)
+    return centroids
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: assign each query to its n_probe nearest
+    cells (driver-side — queries are small), scan ONLY those partitions
+    (cell IN (...) prunes at the file index), exact cosine inside."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_CENTROIDS.json")) as f:
+        centroids = np.asarray(json.load(f), dtype=np.float64)
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qe")
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    qx = np.stack([np.asarray(r.qe, dtype=np.float64) for r in q_rows])
+    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    top = np.argsort(-(qx @ centroids.T), axis=1)[:, :n_probe]
+    probed = sorted({int(c) for row in top for c in row})
+    q_cells = spark.createDataFrame(
+        [
+            (r.query_id, list(r.qe), int(c))
+            for r, cells in zip(q_rows, top)
+            for c in cells
+        ],
+        "query_id long, qe array<double>, cell int",
+    )
+    index = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    cand = (
+        q_cells.join(index, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "e")
+    )
+    scored = cand.withColumn("cosine", F.round(_cosine(F.col("qe"), F.col("e")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

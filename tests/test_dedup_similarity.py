@@ -317,3 +317,23 @@ def test_winnowing_fingerprints(spark):
     pairs = {(r.id_a, r.id_b): r.shared_fps
              for r in FP.shared_passage_pairs(df, min_shared=5).collect()}
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """Persisted IVF index: probes scan ONLY the probed cell partitions
+    (PartitionFilters on cell), and results match the in-memory ivf_topk."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf_index")
+    SIM.build_ivf_index(emb, path, n_clusters=16)
+    out = SIM.ivf_query_index(spark, path, queries, k=3, n_probe=8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    pf_line = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "cell" in pf_line and "IN" in pf_line.upper()
+    got = {(r.query_id, r.neighbor_id, r.cosine) for r in out.collect()}
+    mem = {(r.query_id, r.neighbor_id, r.cosine)
+           for r in SIM.ivf_topk(emb, queries, k=3, n_clusters=16, n_probe=8).collect()}
+    assert got == mem
