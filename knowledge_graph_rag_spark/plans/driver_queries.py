@@ -1276,6 +1276,49 @@ def doc_fingerprints(spark, sf_dir):
 
 
 @q(
+    "repetition_ratio",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_words,
+           max(c) AS top_word_count,
+           round(max(c) * 1.0 / sum(c), 3) AS top_word_share,
+           (max(c) * 1.0 / sum(c)) > 0.2 AS repetitive
+    FROM counts GROUP BY doc_id
+    """,
+)
+def repetition_ratio(spark, sf_dir):
+    """Repetition quality signal (most-frequent-word share — repetitive docs
+    are low-quality training data): explode → two-level agg, all native."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    share = F.col("top_word_count") * 1.0 / F.col("n_words")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.max("c").alias("top_word_count"),
+        )
+        .select(
+            "doc_id", "n_words", "top_word_count",
+            F.round(share, 3).alias("top_word_share"),
+            (share > 0.2).alias("repetitive"),
+        )
+    )
+
+
+@q(
     "gopher_quality_flags",
     """
     WITH m AS (
