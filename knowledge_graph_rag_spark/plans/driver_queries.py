@@ -432,15 +432,16 @@ def session_counts(spark, sf_dir):
     engines sharing the (ts, event_id) total tiebreak."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond-exact gap (double epoch): DuckDB's `ts - lag(ts) >
-    # INTERVAL 30 MINUTE` compares exact intervals, so flooring to whole
-    # seconds here could segment a gap that lands within 1s of the boundary
-    # differently
-    ts_d = F.col("ts").cast("timestamp").cast("double")
-    gap = ts_d - F.lag(ts_d).over(w)
+    # microsecond-exact gap on INTEGER microseconds: DuckDB's `ts - lag(ts) >
+    # INTERVAL 30 MINUTE` compares exact intervals. A double-cast epoch
+    # carries ~1e-7 s rounding, so a gap of exactly 30 min could compare
+    # `> 1800.0` differently across engines; unix_micros is exact.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
     marked = e.withColumn(
         "new_sess",
-        F.when(gap.isNull() | (gap > 30.0 * 60.0), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > F.lit(30 * 60 * 1_000_000).cast("long")), 1)
+        .otherwise(0),
     )
     sess = marked.withColumn(
         "sess_id",
@@ -1845,6 +1846,7 @@ def doc_file_sources(spark, sf_dir):
     import os
     import tempfile
 
+    from .. import synth
     from ..sources import documents as DS
 
     fixtures = {
@@ -1852,8 +1854,15 @@ def doc_file_sources(spark, sf_dir):
         "b.html": b"<html><body><h1>Report</h1><p>Acme &amp; Globex</p>"
                   b"<script>x()</script></body></html>",
         "c.doc": b"\x00\x01Quarterly summary text\x02",
-        "d.pdf": b"%PDF-1.4 stub",
+        "d.pdf": b"%PDF-1.4 stub",  # exotic: no streams → decoder_unavailable
         "e.bin": b"\x00\x01\x02",
+        # stdlib-decoded real formats (no codec libs needed)
+        "f.docx": synth.minimal_docx_bytes(
+            ("Globex acquired Initech.", "Acme partnered with Hooli.")
+        ),
+        "g.pdf": synth.minimal_pdf_bytes(
+            ("Initech released Gizmo 9.", "Quarterly filing.")
+        ),
     }
     import hashlib as _hl
 

@@ -12,12 +12,15 @@ one row per file, content as a binary column) and dispatches on extension:
                  as a native regexp chain (the BeautifulSoup pipeline
                  :280-294 re-expressed; attribute-quoted ``>`` is the known
                  approximation)
-- .pdf/.docx     Arrow-batched ``mapInPandas`` gated on pypdf/PyPDF2 and
-                 docx2txt (:224-265). Those libs are absent in this
-                 container, so rows surface ``decode_status =
-                 'decoder_unavailable'`` with the plumbing (schema, dispatch,
-                 batching) fully real and tested — same honest-stub policy as
-                 operators/multimodal.
+- .pdf/.docx     Arrow-batched ``mapInPandas``: pypdf/PyPDF2 and docx2txt
+                 when installed (:224-265), else STDLIB extractors — DOCX is
+                 a zip (``zipfile`` + ``word/document.xml`` tag-walk:
+                 ``<w:p>``→paragraph, ``<w:t>`` text, ``<w:tab/>``/``<w:br/>``
+                 whitespace), and simple PDFs are FlateDecode streams
+                 (``zlib`` + ``Tj``/``TJ``/``'``/``"`` text-operator parse
+                 inside ``BT…ET`` blocks). ``decode_status =
+                 'decoder_unavailable'`` remains only for genuinely exotic
+                 encodings (non-Flate PDF filters, no extractable text ops).
 
 URL ingestion (:103-222) is a manifest-driven fetch: the fetcher is
 injectable; the default is a deterministic offline stub (no network in this
@@ -53,6 +56,101 @@ except ImportError:
     DOCX_SUPPORT = False
 
 _OUT_COLS = ("doc_id", "source_format", "text", "n_chars", "decode_status")
+
+# --- stdlib codec-free extractors (document_processor.py:103-294 parity) ----
+
+_XML_ENT = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&apos;", "'"), ("&amp;", "&"))  # &amp; LAST (no double-decode)
+
+
+def docx_bytes_to_text(content: bytes) -> str:
+    """DOCX without third-party libs: a .docx IS a zip; text lives in
+    ``word/document.xml``. ``<w:p>`` elements become paragraphs (newline),
+    ``<w:t>`` runs carry the text, ``<w:tab/>`` / ``<w:br/>`` become
+    whitespace (reference capability: document_processor.py:224-265 via
+    docx2txt). Raises on anything that isn't a docx zip."""
+    import io
+    import re
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        xml = z.read("word/document.xml").decode("utf-8", "replace")
+    paras = []
+    for p in re.findall(r"<w:p[ >].*?</w:p>|<w:p/>", xml, re.S):
+        p = re.sub(r"<w:tab\s*/>", "\t", p)
+        p = re.sub(r"<w:br\s*/>", "\n", p)
+        runs = re.findall(r"<w:t(?:\s[^>]*)?>(.*?)</w:t>", p, re.S)
+        text = "".join(runs)
+        for ent, ch in _XML_ENT:
+            text = text.replace(ent, ch)
+        paras.append(text)
+    return "\n".join(paras).strip()
+
+
+_PDF_ESC = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+            "(": "(", ")": ")", "\\": "\\"}
+
+
+def _pdf_unescape(s: str) -> str:
+    import re
+
+    def sub(m):
+        g = m.group(1)
+        if g[0].isdigit():
+            return chr(int(g, 8))
+        if g == "\n":  # line continuation
+            return ""
+        return _PDF_ESC.get(g, g)
+
+    return re.sub(r"\\([0-7]{1,3}|\n|.)", sub, s)
+
+
+def pdf_bytes_to_text(content: bytes) -> str | None:
+    """Simple-PDF text extraction without third-party libs: decompress
+    FlateDecode content streams with stdlib ``zlib`` (raw streams pass
+    through), then collect the text shown by ``Tj`` / ``TJ`` / ``'`` / ``"``
+    operators inside ``BT…ET`` blocks. Returns None when no text operator is
+    found (exotic encodings → caller emits decoder_unavailable). Covers the
+    synthetic-fixture / simple-generator class of PDFs, not CID-keyed or
+    encrypted ones."""
+    import re
+    import zlib
+
+    streams: list[bytes] = []
+    for m in re.finditer(rb"stream\r?\n(.*?)endstream", content, re.S):
+        raw = m.group(1)
+        try:
+            streams.append(zlib.decompress(raw))
+        except zlib.error:
+            streams.append(raw)  # uncompressed content stream
+    lines: list[str] = []
+    # (str) with PDF escapes; balanced-paren nesting is rare in generated text
+    s_lit = r"\(((?:\\.|[^\\()])*)\)"
+    for data in streams:
+        txt = data.decode("latin-1", "replace")
+        for block in re.findall(r"BT(.*?)ET", txt, re.S):
+            parts: list[str] = []
+            for op in re.finditer(
+                rf"{s_lit}\s*(Tj|')"        # show / newline-show
+                rf"|\[((?:[^\[\]\\]|\\.)*?)\]\s*TJ"  # array show
+                rf"|{s_lit}\s*\""           # word/char-spaced newline-show
+                rf"|(T\*|Td|TD)",           # line moves → newline
+                block, re.S,
+            ):
+                if op.group(2) in ("Tj", "'"):
+                    if op.group(2) == "'":
+                        parts.append("\n")
+                    parts.append(_pdf_unescape(op.group(1)))
+                elif op.group(3) is not None:
+                    for frag in re.findall(s_lit, op.group(3)):
+                        parts.append(_pdf_unescape(frag))
+                elif op.group(4) is not None:
+                    parts.append("\n" + _pdf_unescape(op.group(4)))
+                elif op.group(5) is not None and parts:
+                    parts.append("\n")
+            if parts:
+                lines.append("".join(parts))
+    return "\n".join(lines).strip() if lines else None
 
 
 def html_to_text(col):
@@ -99,26 +197,30 @@ def _pdf_docx_extract(df: DataFrame) -> DataFrame:
                 content, fmt = row["content"], row["source_format"]
                 try:
                     if fmt == "pdf":
-                        if not PDF_SUPPORT:
-                            texts.append(None)
-                            statuses.append("decoder_unavailable")
-                            continue
-                        reader = _pdf.PdfReader(io.BytesIO(bytes(content)))
-                        texts.append(
-                            "\n\n".join(p.extract_text() or "" for p in reader.pages)
-                        )
-                        statuses.append("ok")
+                        if PDF_SUPPORT:
+                            reader = _pdf.PdfReader(io.BytesIO(bytes(content)))
+                            texts.append(
+                                "\n\n".join(p.extract_text() or "" for p in reader.pages)
+                            )
+                            statuses.append("ok")
+                        else:
+                            # stdlib zlib + text-operator parse (simple PDFs)
+                            t = pdf_bytes_to_text(bytes(content))
+                            texts.append(t)
+                            statuses.append(
+                                "ok" if t is not None else "decoder_unavailable"
+                            )
                     else:  # docx
-                        if not DOCX_SUPPORT:
-                            texts.append(None)
-                            statuses.append("decoder_unavailable")
-                            continue
-                        import tempfile
+                        if DOCX_SUPPORT:
+                            import tempfile
 
-                        with tempfile.NamedTemporaryFile(suffix=".docx") as tf:
-                            tf.write(bytes(content))
-                            tf.flush()
-                            texts.append(_docx.process(tf.name))
+                            with tempfile.NamedTemporaryFile(suffix=".docx") as tf:
+                                tf.write(bytes(content))
+                                tf.flush()
+                                texts.append(_docx.process(tf.name))
+                        else:
+                            # stdlib zipfile + document.xml tag-walk
+                            texts.append(docx_bytes_to_text(bytes(content)))
                         statuses.append("ok")
                 except Exception as ex:  # noqa: BLE001 — per-file isolation
                     texts.append(None)

@@ -99,18 +99,30 @@ class GraphStore:
         self, table: str, df: DataFrame, *,
         replace_table: bool, sort_within: tuple[str, ...] = (),
         drop_ids: tuple[str, ...] = (),
-    ) -> int:
+    ) -> tuple[int, set[str]]:
         """Write df's graph_id partitions as immutable ``v=<snap>`` version
         dirs (ONE Spark job, partitionBy) and commit a manifest referencing
         them plus — unless ``replace_table`` — every untouched partition's
-        existing files. ``drop_ids`` removes partitions manifest-only."""
+        existing files. ``drop_ids`` removes partitions manifest-only (a
+        partition also present in df survives — written data wins).
+        Returns (snapshot, graph_ids written)."""
         cur = self.current_snapshot(table)
-        snap = (cur + 1) if cur is not None else 0
         old = {}
         if cur is not None and not replace_table:
             m = self._load_partition_manifest(table, cur)
-            if m:
-                old = dict(m.get("partitions", {}))
+            if m is None:
+                # Legacy whole-dir snapshot (pre-manifest layout): treating it
+                # as an empty table would commit a manifest containing ONLY the
+                # incoming graph_ids, silently dropping every other graph from
+                # subsequent reads. Migrate the legacy snapshot through the
+                # partitioned path first, then apply this incremental commit
+                # on top of the migrated manifest.
+                legacy = self.spark.read.parquet(self._snapshot_path(table, cur))
+                self._commit_partitions(table, legacy, replace_table=True)
+                cur = self.current_snapshot(table)
+                m = self._load_partition_manifest(table, cur)
+            old = dict(m.get("partitions", {})) if m else {}
+        snap = (cur + 1) if cur is not None else 0
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
         tmp = os.path.join(self._table_dir(table), f"_tmp-{snap}")
@@ -149,7 +161,7 @@ class GraphStore:
             json.dump(manifest, f, indent=1, sort_keys=True)
         with open(os.path.join(spath, "_COMMITTED"), "w") as f:
             json.dump({"snapshot": snap, "committed_at": time.time()}, f)
-        return snap
+        return snap, set(changed)
 
     def write_snapshot(self, table: str, df: DataFrame,
                        partition_by: tuple[str, ...] = ("graph_id",),
@@ -166,9 +178,10 @@ class GraphStore:
         Z-order): sorting nodes by node_id / edges by src tightens parquet
         min-max stats so point lookups and range scans skip row groups."""
         if partition_by == ("graph_id",):
-            return self._commit_partitions(
+            snap, _ = self._commit_partitions(
                 table, df, replace_table=True, sort_within=sort_within
             )
+            return snap
         cur = self.current_snapshot(table)
         snap = (cur + 1) if cur is not None else 0
         path = self._snapshot_path(table, snap)
@@ -228,12 +241,23 @@ class GraphStore:
     def store_graph(self, nodes: DataFrame, edges: DataFrame) -> tuple[int, int]:
         """S10 CREATE semantics: commit the incoming graph_id partitions
         (replacing them if re-run — idempotent). Partitions of OTHER graphs
-        are carried by manifest reference — zero data rewritten for them."""
-        sort_cols = {"nodes": ("node_id",), "edges": ("src", "dst")}
-        for table, df in (("nodes", nodes), ("edges", edges)):
-            self._commit_partitions(
-                table, df, replace_table=False, sort_within=sort_cols[table]
-            )
+        are carried by manifest reference — zero data rewritten for them.
+
+        Idempotency across BOTH tables: a graph_id present in either incoming
+        frame is replaced in both — so re-running a graph whose edges (or
+        nodes) frame came out empty drops the stale partition instead of
+        leaving it referenced by the manifest (the written side's gids are
+        passed as drop_ids to the other table's commit)."""
+        _, node_gids = self._commit_partitions(
+            "nodes", nodes, replace_table=False, sort_within=("node_id",)
+        )
+        _, edge_gids = self._commit_partitions(
+            "edges", edges, replace_table=False, sort_within=("src", "dst"),
+            drop_ids=tuple(sorted(node_gids)),
+        )
+        stale_node_gids = edge_gids - node_gids
+        if stale_node_gids:
+            self._drop_partitions("nodes", stale_node_gids)
         return (self.current_snapshot("nodes"), self.current_snapshot("edges"))
 
     def store_graph_merge(self, nodes: DataFrame, edges: DataFrame,
@@ -332,27 +356,35 @@ class GraphStore:
             for r in self.read("nodes").select("graph_id").distinct().collect()
         )
 
+    def _drop_partitions(self, table: str, graph_ids) -> None:
+        """Manifest-only commit removing partitions — no data files read or
+        written. Legacy (manifest-less) snapshots fall back to a filtered
+        rewrite through the partitioned path."""
+        cur = self.current_snapshot(table)
+        manifest = self._load_partition_manifest(table, cur)
+        if manifest is None:
+            self.write_snapshot(
+                table,
+                self.read(table).filter(~F.col("graph_id").isin(*graph_ids)),
+            )
+            return
+        snap = cur + 1
+        for gid in graph_ids:
+            manifest["partitions"].pop(gid, None)
+        spath = self._snapshot_path(table, snap)
+        os.makedirs(spath, exist_ok=True)
+        with open(os.path.join(spath, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        with open(os.path.join(spath, "_COMMITTED"), "w") as f:
+            json.dump({"snapshot": snap, "committed_at": time.time()}, f)
+
     def delete_graph(self, graph_id: str) -> None:
         """S13 DETACH DELETE: manifest-only commit dropping the partition —
         no data files read or written."""
         for table in ("nodes", "edges"):
             if not self.exists(table):
                 continue
-            cur = self.current_snapshot(table)
-            manifest = self._load_partition_manifest(table, cur)
-            if manifest is None:
-                self.write_snapshot(
-                    table, self.read(table).filter(F.col("graph_id") != graph_id)
-                )
-                continue
-            snap = cur + 1
-            manifest["partitions"].pop(graph_id, None)
-            spath = self._snapshot_path(table, snap)
-            os.makedirs(spath, exist_ok=True)
-            with open(os.path.join(spath, "_MANIFEST.json"), "w") as f:
-                json.dump(manifest, f, indent=1, sort_keys=True)
-            with open(os.path.join(spath, "_COMMITTED"), "w") as f:
-                json.dump({"snapshot": snap, "committed_at": time.time()}, f)
+            self._drop_partitions(table, (graph_id,))
 
     def compact_partition(self, table: str, graph_id: str,
                           target_files: int = 1,

@@ -155,6 +155,72 @@ def documents_df(spark, n_docs: int):
     )
 
 
+# --- binary-document fixtures (S8) ------------------------------------------
+
+
+def minimal_docx_bytes(paragraphs: tuple[str, ...]) -> bytes:
+    """Deterministic minimal .docx: a zip holding [Content_Types].xml +
+    word/document.xml (the member sources/documents.docx_bytes_to_text and
+    real readers parse). Fixed zip timestamps → byte-stable output."""
+    import io
+    import zipfile
+
+    body = "".join(
+        f"<w:p><w:r><w:t>{p.replace('&', '&amp;').replace('<', '&lt;')}"
+        "</w:t></w:r></w:p>"
+        for p in paragraphs
+    )
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        f"{body}</w:body></w:document>"
+    )
+    ctypes = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types"><Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/word/document.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+        "</Types>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, content in (("[Content_Types].xml", ctypes),
+                              ("word/document.xml", doc)):
+            zi = zipfile.ZipInfo(name, date_time=(2026, 1, 1, 0, 0, 0))
+            z.writestr(zi, content)
+    return buf.getvalue()
+
+
+def minimal_pdf_bytes(lines: tuple[str, ...], compress: bool = True) -> bytes:
+    """Deterministic minimal one-page PDF whose content stream shows ``lines``
+    via Tj operators — FlateDecode when ``compress`` (the class
+    sources/documents.pdf_bytes_to_text targets)."""
+    import zlib
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    ops = "BT /F1 12 Tf 72 720 Td " + " T* ".join(
+        f"({esc(ln)}) Tj" for ln in lines
+    ) + " ET"
+    stream = zlib.compress(ops.encode("latin-1")) if compress else ops.encode(
+        "latin-1"
+    )
+    filt = " /Filter /FlateDecode" if compress else ""
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj",
+        b"4 0 obj << /Length %d%s >> stream\n%s\nendstream endobj"
+        % (len(stream), filt.encode(), stream),
+    ]
+    out = b"%PDF-1.4\n" + b"\n".join(objs)
+    out += b"\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+    return out
+
+
 # --- F2: network logs --------------------------------------------------------
 
 _EPOCH = datetime(2026, 1, 1, 0, 0, 0)

@@ -128,8 +128,16 @@ def test_document_file_sources(spark, tmp_path):
         "<script>alert(1)</script></body></html>"
     )
     (tmp_path / "c.doc").write_bytes(b"\x00\x01plain words inside\x02\x03")
-    (tmp_path / "d.pdf").write_bytes(b"%PDF-1.4 fake")
+    (tmp_path / "d.pdf").write_bytes(b"%PDF-1.4 fake")  # exotic: no streams
     (tmp_path / "e.xyz").write_bytes(b"???")
+    from knowledge_graph_rag_spark import synth
+
+    (tmp_path / "f.docx").write_bytes(
+        synth.minimal_docx_bytes(("Globex acquired Initech.", "Q2 summary."))
+    )
+    (tmp_path / "g.pdf").write_bytes(
+        synth.minimal_pdf_bytes(("Hooli launched Nucleus.", "Page one."))
+    )
     out = DS.read_document_files(spark, str(tmp_path) + "/*")
     rows = {r.doc_id.rsplit("/", 1)[1]: r for r in out.collect()}
     assert rows["a.txt"].text == "Acme Corp shipped Widget 3000."
@@ -139,17 +147,26 @@ def test_document_file_sources(spark, tmp_path):
     assert "alert" not in html_text and "color" not in html_text
     assert "plain words inside" in rows["c.doc"].text
     assert "\x00" not in rows["c.doc"].text
-    expected_pdf = "decoder_unavailable" if not DS.PDF_SUPPORT else "ok"
-    assert rows["d.pdf"].decode_status == expected_pdf
+    # stdlib extractors: real docx/pdf decode ok WITHOUT codec libs
+    assert rows["f.docx"].decode_status == "ok"
+    assert rows["f.docx"].text == "Globex acquired Initech.\nQ2 summary."
+    if not DS.PDF_SUPPORT:  # stdlib FlateDecode path
+        assert rows["g.pdf"].decode_status == "ok"
+        assert rows["g.pdf"].text == "Hooli launched Nucleus.\nPage one."
+        # a PDF with no text streams stays honestly undecodable
+        assert rows["d.pdf"].decode_status == "decoder_unavailable"
     assert rows["e.xyz"].decode_status == "unsupported_format"
 
-    # interleaved adapter feeds the standard extraction pipeline
+    # interleaved adapter feeds the standard extraction pipeline —
+    # including the stdlib-decoded docx/pdf text
     from knowledge_graph_rag_spark.operators.extract import explode_spans
 
     docs = DS.to_interleaved_documents(out)
     spans = explode_spans(docs)
     texts = {r.text for r in spans.collect()}
     assert "Acme Corp shipped Widget 3000." in texts
+    assert "Globex acquired Initech.\nQ2 summary." in texts
+    assert any("Hooli launched Nucleus." in t for t in texts)
 
 
 def test_url_documents_stub_fetch(spark):

@@ -44,6 +44,59 @@ def test_store_graph_idempotent(spark, store):
     assert store.read("nodes").count() == 1
 
 
+def test_store_graph_rerun_with_empty_edges_drops_stale_partition(spark, store):
+    """Idempotency across tables: re-running a graph whose new edges frame is
+    empty must drop the stale edges partition from the manifest, not leave it
+    referenced (ADVICE r02)."""
+    n = _mini_nodes(spark, "g1", [("a", "A", "Person")])
+    e = _mini_edges(spark, "g1", [("a", "a", "KNOWS")])
+    store.store_graph(n, e)
+    # untouched sibling graph must survive both commits
+    store.store_graph(
+        _mini_nodes(spark, "g2", [("b", "B", "Person")]),
+        _mini_edges(spark, "g2", [("b", "b", "KNOWS")]),
+    )
+    assert store.read("edges").filter("graph_id = 'g1'").count() == 1
+    store.store_graph(n, _mini_edges(spark, "g1", []))  # re-run: no edges now
+    assert store.read("edges").filter("graph_id = 'g1'").count() == 0
+    assert store.read("edges").filter("graph_id = 'g2'").count() == 1
+    assert store.read("nodes").filter("graph_id = 'g1'").count() == 1
+
+
+def test_legacy_snapshot_migrated_on_incremental_commit(spark, store):
+    """A warehouse written before the manifest layout (whole-dir snapshot, no
+    _MANIFEST.json) must NOT be treated as empty by store_graph /
+    store_graph_merge — the legacy snapshot is migrated through the
+    partitioned path first, so pre-existing graphs survive (ADVICE r02)."""
+    import json
+    import os
+
+    for table, df in (
+        ("nodes", _mini_nodes(spark, "g_old", [("x", "X", "Person")])),
+        ("edges", _mini_edges(spark, "g_old", [("x", "x", "KNOWS")])),
+    ):
+        path = os.path.join(store.root, table, "snapshot=0")
+        df.write.mode("overwrite").partitionBy("graph_id").parquet(path)
+        with open(os.path.join(path, "_COMMITTED"), "w") as f:
+            json.dump({"snapshot": 0}, f)
+    assert store._load_partition_manifest("nodes", 0) is None  # truly legacy
+    store.store_graph(
+        _mini_nodes(spark, "g_new", [("y", "Y", "Person")]),
+        _mini_edges(spark, "g_new", [("y", "y", "KNOWS")]),
+    )
+    assert store.list_graphs() == ["g_new", "g_old"]
+    assert store.read("nodes").count() == 2
+    assert store.read("edges").count() == 2
+    # merge path over a second legacy table state also preserves siblings
+    store.store_graph_merge(
+        _mini_nodes(spark, "g_new", [("z", "Z", "Port")]),
+        _mini_edges(spark, "g_new", [("y", "z", "USES_PORT")]),
+        "g_new",
+    )
+    assert store.read("nodes").filter("graph_id = 'g_old'").count() == 1
+    assert store.read("nodes").filter("graph_id = 'g_new'").count() == 2
+
+
 def test_merge_upsert_keep_existing_label(spark, store):
     """S11: on-match keep existing label/type, overwrite value props
     (neo4j_service.py:132-141)."""
