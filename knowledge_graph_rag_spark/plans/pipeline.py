@@ -166,6 +166,22 @@ def run(
     metrics_parts.append(partition_lineage(nodes, run_id, "materialize_nodes"))
     metrics_parts.append(partition_lineage(edges, run_id, "materialize_edges"))
 
+    # --- entity index (fulltext parity) ----------------------------------------
+    # Materialize-time token inverted index over ALL node labels (the Neo4j
+    # fulltext index the reference creates at startup, neo4j_service.py:38-53):
+    # entity_search probes prune to one (graph_id, tok_prefix) partition
+    # instead of scanning nodes. Derived state — rebuilt per materialize here;
+    # the 100 TB path is a per-graph partition-scoped commit (same protocol as
+    # nodes/edges), which this layout (graph_id leading the partition spec)
+    # already supports.
+    from ..operators import retrieval as R
+
+    stage(
+        "entity_index",
+        lambda: store.read("nodes"),
+        write=lambda df: R.write_entity_index(store, df),
+    )
+
     # --- bucketize (opt-in) ------------------------------------------------------
     # Query-side acceleration: nodes bucketed+sorted on node_id, edges on src,
     # so every downstream edges⋈nodes endpoint join (J1 shape — detectors,

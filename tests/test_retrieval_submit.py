@@ -46,6 +46,44 @@ def test_paths_between(kg):
     assert paths and all(p.hops <= 2 for p in paths)
 
 
+def test_entity_search_indexed(kg, spark, tmp_path):
+    """Token-inverted-index entity search: equivalent to the contains scan on
+    whole-word probes, AND semantics on multi-token queries, and the probe
+    plan prunes to the needle's tok_prefix partition instead of scanning the
+    whole index (the 10^12-node shape — fulltext-index parity)."""
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    nodes, _ = kg
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    R.write_entity_index(store, nodes)
+    index = store.read(R.ENTITY_INDEX_TABLE)
+
+    for probe in ("acme", "springfield"):
+        scan = {tuple(r) for r in R.entity_search(nodes, probe, 100).collect()}
+        idx = {
+            tuple(r)
+            for r in R.entity_search_indexed(index, nodes, probe, 100).collect()
+        }
+        assert idx == scan and idx  # same hits, non-empty
+
+    # word-prefix probe also serviced by the index
+    pre = R.entity_search_indexed(index, nodes, "acm", 100).collect()
+    assert pre and all("acm" in r.label.lower() for r in pre)
+
+    # multi-token AND: every hit's label contains both words
+    multi = R.entity_search_indexed(index, nodes, "Acme Corp", 100).collect()
+    assert multi and all(
+        "acme" in r.label.lower() and "corp" in r.label.lower() for r in multi
+    )
+
+    # plan: the index probe is partition-pruned on tok_prefix, not a full scan
+    probe_plan = index.filter(
+        (F.col("tok_prefix").startswith("ac")) & F.col("token").startswith("acme")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in probe_plan
+    assert "tok_prefix" in probe_plan.split("PartitionFilters")[1].splitlines()[0]
+
+
 def test_graph_overview(kg):
     nodes, edges = kg
     rows = R.graph_overview(nodes, edges).collect()

@@ -108,7 +108,17 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = E.queries(), E.oracle_sql()
+    # verify EVERYTHING registered — the driver window (exactly the 50
+    # entries the external driver checks, asserted here) plus the extended
+    # set — with identical rigor
+    from knowledge_graph_rag_spark.plans import driver_queries as DQ
+
+    driver_qs = E.queries()
+    assert len(driver_qs) == 50, f"driver window must be 50, got {len(driver_qs)}"
+    assert set(E.oracle_sql()) <= set(driver_qs)
+    qs, oracles = DQ.extended_queries(), DQ.extended_oracle_sql()
+    # driver-window entries first, same order the driver sees
+    qs = {**{n: qs[n] for n in driver_qs}, **qs}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
