@@ -53,12 +53,31 @@ def main() -> None:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(512 * 1024),
             "spark.sql.files.openCostInBytes": str(64 * 1024),
+            # keep the captured output clean: no \r progress spam
+            "spark.ui.showConsoleProgress": "false",
         },
     )
+    # Quiet logging: the r02 bench tail carried a DAGScheduler stack trace.
+    # Root cause (reproduced): limit-bearing queries early-terminate their
+    # job, and a straggler task's accumulator update then hits the already-
+    # unregistered SQL-metrics accumulator — DAGScheduler logs the benign
+    # race as "Failed to update accumulator ... non-existent accumulator" at
+    # ERROR with a full stack. rc stays 0 and results are unaffected; the
+    # DAGScheduler logger alone goes to FATAL so any REAL failure elsewhere
+    # still surfaces.
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:  # noqa: BLE001 — logging cosmetics must never fail a run
+        pass
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
     timings: dict[str, float] = {}
-    qs = DQ.queries()
+    qs = DQ.extended_queries()  # headline names span driver + extended sets
     # warm the storage layer once per table so timings measure query
     # execution, not first-touch page-cache fill
     for t in ("events", "documents", "embeddings", "lineitem", "orders",

@@ -222,9 +222,13 @@ def simhash_pairs(
     generation is 4 equi-joins, then a native bit_count verify. No O(n²).
     Band buckets larger than ``band_cap`` are dropped (see
     _cap_band_buckets) so degenerate hashes can't go quadratic."""
+    # localCheckpoint, not cache(): a library function must not leave managed
+    # memory pinned after the caller drops the result — checkpoint blocks are
+    # reclaimed by the ContextCleaner once unreferenced, and the truncated
+    # lineage is what the band self-join reuses
     hashed = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
-    ).cache()
+    ).localCheckpoint(eager=False)
     bands = hashed.select(
         "id", "sh",
         F.explode(

@@ -251,10 +251,16 @@ def k_hop_reach(edges: DataFrame, rel_type: str, target_type_nodes: DataFrame,
 
     Iterative self-join with per-iteration localCheckpoint-free unions —
     bounded at 5 hops so the plan stays shallow; frontier deduped each step.
-    The filtered ``rel`` frame is cached: every hop re-joins it, and without
-    the cache each of the 5 frontiers re-derives it from the raw edge scan.
+    The filtered ``rel`` frame is localCheckpoint-ed: every hop re-joins it,
+    and without materialization each of the 5 frontiers re-derives it from
+    the raw edge scan (checkpoint, not cache, so a library call leaves no
+    managed memory pinned once the caller drops the result).
     """
-    rel = edges.filter(F.col("rel_type") == rel_type).select("src", "dst").cache()
+    rel = (
+        edges.filter(F.col("rel_type") == rel_type)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
     targets = target_type_nodes.select(F.col("node_id").alias("dst"))
     frontier = rel.join(targets, "dst", "left_semi").select(
         F.col("src").alias("origin"), F.col("dst").alias("terminal"),

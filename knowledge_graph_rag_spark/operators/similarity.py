@@ -157,24 +157,59 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str,
     return df.withColumn("cells", cells_of(F.col(vec_col)))
 
 
+def _resolve_n_clusters(n_clusters: int | None, vectors: DataFrame) -> int:
+    """``None`` → the IVF sizing rule k ≈ √n (cell size ≈ √n, so a probe
+    costs n_probe·√n regardless of corpus growth — the right asymptote;
+    FAISS guidance is the same 4√n..16√n band)."""
+    if n_clusters is not None:
+        return n_clusters
+    import math
+
+    return max(4, math.isqrt(max(1, vectors.count())))
+
+
+def _sample_for_fit(vectors: DataFrame, vec_col: str, sample_rows: int,
+                    sample_fraction: float | None, seed: int) -> list:
+    """Driver-side fit sample. Default: first ``sample_rows`` rows (cheap, no
+    full scan). For corpora where the leading partitions are not
+    representative — or where you want the sample drawn across ALL
+    partitions — pass ``sample_fraction``: a per-partition Bernoulli sample
+    (distributed, no shuffle) is taken first and only ``sample_rows`` of it
+    are collected, keeping driver memory bounded at sample_rows·dim doubles
+    no matter the corpus size."""
+    v = vectors.select(_as_double(F.col(vec_col)))
+    if sample_fraction is not None:
+        v = v.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
+    return [np.asarray(r[0], dtype=np.float64) for r in v.limit(sample_rows).collect()]
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_clusters: int = 64,
+    n_clusters: int | None = 64,
     n_probe: int = 8,
     sample_rows: int = 10000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: vectors live in their single nearest cell; queries probe
     their ``n_probe`` nearest cells; exact cosine verify inside probed cells.
-    Recall rises with n_probe (n_probe = n_clusters degenerates to exact)."""
-    sample_rows_data = [
-        np.asarray(r[0], dtype=np.float64)
-        for r in vectors.select(_as_double(F.col(vec_col))).limit(sample_rows).collect()
-    ]
+    Recall rises with n_probe (n_probe = n_clusters degenerates to exact).
+
+    Sizing at scale (defaults here are sandbox-sized): pass
+    ``n_clusters=None`` for the k ≈ √n rule (cell ≈ √n rows → probe cost
+    n_probe·√n, corpus-size-independent per cell); ``sample_rows`` should be
+    ≳ 40·n_clusters for a stable fit, and when the leading partitions aren't
+    representative (or the corpus is huge), ``sample_fraction`` draws the fit
+    sample per-partition across the whole corpus with driver memory still
+    bounded by sample_rows."""
+    n_clusters = _resolve_n_clusters(n_clusters, vectors)
+    sample_rows_data = _sample_for_fit(
+        vectors, vec_col, sample_rows, sample_fraction, seed
+    )
     if not sample_rows_data:
         # empty corpus → empty result with the contract schema (matches the
         # brute-force/LSH paths' behavior)
@@ -212,24 +247,28 @@ def ivf_topk(
 def build_ivf_index(
     vectors: DataFrame,
     path: str,
-    n_clusters: int = 64,
+    n_clusters: int | None = 64,
     sample_rows: int = 10000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
     """Persist an IVF index: vectors written as parquet PARTITIONED BY their
     nearest-centroid cell, centroids saved alongside. A probe then reads
     exactly ``n_probe`` partitions (PartitionFilters at the scan — pinned by
     test_ivf_index_partition_pruning), so query cost is corpus-size-
-    independent for fixed cell occupancy. Returns the centroids."""
+    independent for fixed cell occupancy. Returns the centroids.
+
+    Sizing at scale: ``n_clusters=None`` applies the k ≈ √n rule;
+    ``sample_fraction`` draws the centroid-fit sample per-partition across
+    the whole corpus (driver memory stays bounded by sample_rows) — see
+    ivf_topk."""
     import json
     import os
 
-    sample = [
-        np.asarray(r[0], dtype=np.float64)
-        for r in vectors.select(_as_double(F.col(vec_col))).limit(sample_rows).collect()
-    ]
+    n_clusters = _resolve_n_clusters(n_clusters, vectors)
+    sample = _sample_for_fit(vectors, vec_col, sample_rows, sample_fraction, seed)
     if not sample:
         raise ValueError("cannot build an IVF index over an empty table")
     centroids = fit_centroids(np.stack(sample), n_clusters, seed)

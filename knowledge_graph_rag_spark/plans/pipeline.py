@@ -47,7 +47,7 @@ def run(
     graph_id: str = "kg_main",
     run_id: str = "run0",
     enable_lsh_canonicalization: bool = True,
-    bucketed_query_tables: bool = False,
+    bucketed_query_tables: bool = True,
 ) -> PipelineResult:
     res = PipelineResult(run_id=run_id)
     metrics_parts: list[DataFrame] = []
@@ -182,7 +182,7 @@ def run(
         write=lambda df: R.write_entity_index(store, df),
     )
 
-    # --- bucketize (opt-in) ------------------------------------------------------
+    # --- bucketize (default-on; disable for one-shot graphs) ---------------------
     # Query-side acceleration: nodes bucketed+sorted on node_id, edges on src,
     # so every downstream edges⋈nodes endpoint join (J1 shape — detectors,
     # templates) plans as a co-located SortMergeJoin with ZERO Exchange

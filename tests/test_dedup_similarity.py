@@ -135,6 +135,26 @@ def test_ivf_topk_recall(spark):
     assert {(r.query_id, r.neighbor_id) for r in full} == exact_set
 
 
+def test_ivf_auto_sizing_and_distributed_sample(spark):
+    """n_clusters=None applies the k≈√n rule; sample_fraction draws the fit
+    sample per-partition (bounded driver memory) — both produce the contract
+    schema and deterministic results."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    assert SIM._resolve_n_clusters(None, emb) == max(4, int(n ** 0.5))
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = SIM.ivf_topk(
+        emb, queries, k=3, n_clusters=None, n_probe=SIM._resolve_n_clusters(None, emb),
+        sample_fraction=0.5,
+    )
+    rows = out.collect()
+    assert rows and out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    # full-probe with auto k still degenerates to exact
+    exact = {(r.query_id, r.neighbor_id)
+             for r in SIM.brute_force_topk(emb, queries, k=3).collect()}
+    assert {(r.query_id, r.neighbor_id) for r in rows} == exact
+
+
 def test_media_pipeline(spark):
     from knowledge_graph_rag_spark import synth
     from knowledge_graph_rag_spark.operators.extract import explode_spans

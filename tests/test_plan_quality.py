@@ -222,7 +222,7 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
 
 
 def test_pipeline_bucketed_output_join_no_exchange(spark, tmp_path):
-    """bucketed_query_tables=True materializes bucketed nodes/edges copies;
+    """The DEFAULT pipeline path materializes bucketed nodes/edges copies;
     the downstream J1 endpoint join over them plans with zero Exchange."""
     import re
 
@@ -234,8 +234,7 @@ def test_pipeline_bucketed_output_join_no_exchange(spark, tmp_path):
     store = GraphStore(spark, str(tmp_path / "wh"))
     docs = synth.documents_df(spark, 30)
     res = pipeline.run(spark, docs, store, graph_id="kgb", run_id="r1",
-                       enable_lsh_canonicalization=False,
-                       bucketed_query_tables=True)
+                       enable_lsh_canonicalization=False)  # default bucketize
     assert "bucketize" in res.stages_run
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -250,8 +249,48 @@ def test_pipeline_bucketed_output_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     # resume: second run skips the bucketize stage
     res2 = pipeline.run(spark, docs, store, graph_id="kgb", run_id="r2",
-                        enable_lsh_canonicalization=False,
-                        bucketed_query_tables=True)
+                        enable_lsh_canonicalization=False)
     assert "bucketize" in res2.stages_skipped
     spark.sql("DROP TABLE IF EXISTS kgb_nodes_bucketed")
     spark.sql("DROP TABLE IF EXISTS kgb_edges_bucketed")
+
+
+def test_global_windows_only_above_aggregates(spark):
+    """Every unpartitioned window in the package sits above a pre-aggregated
+    (tiny) frame — a global window over a RAW table would move all data to
+    one partition, a driver-killer at 100×. Pinned two ways: a source sweep
+    asserting the only `Window.partitionBy()` sites are the two audited ones,
+    and plan checks that each site's single-partition Exchange consumes an
+    aggregate, not a scan."""
+    import pathlib
+    import re
+
+    import knowledge_graph_rag_spark as pkg
+    from knowledge_graph_rag_spark.operators.detectors import (
+        detect_protocol_rarity,
+    )
+    from knowledge_graph_rag_spark.plans.driver_queries import share_of_total
+
+    root = pathlib.Path(pkg.__file__).parent
+    sites = sorted(
+        p.relative_to(root).as_posix()
+        for p in root.rglob("*.py")
+        if re.search(r"Window\.partitionBy\(\)", p.read_text())
+    )
+    assert sites == ["operators/detectors.py", "plans/driver_queries.py"], sites
+
+    edges = spark.createDataFrame(
+        [("e%d" % i, "a", "b", "CONNECTED_TO", "tcp" if i else "gre")
+         for i in range(30)],
+        "edge_id string, src string, dst string, rel_type string, protocol string",
+    )
+    for df in (share_of_total(spark, SF_DIR), detect_protocol_rarity(edges)):
+        plan = _plan(df)
+        assert "SinglePartition" in plan
+        # formatted tree is top-down: the Exchange (the window's single-
+        # partition shuffle) must have an aggregate BELOW it, i.e. the
+        # window's input is the tiny aggregated frame, never a raw scan
+        tree = plan.split("\n\n")[0].splitlines()
+        exch = [i for i, ln in enumerate(tree) if "Exchange" in ln]
+        assert exch, plan[:1500]
+        assert any("HashAggregate" in ln for ln in tree[exch[0]:]), plan[:2000]
