@@ -38,6 +38,31 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def register_bucketed(
+    spark: SparkSession,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+) -> None:
+    """(Re-)register an existing bucketed parquet directory in the session
+    catalog. Bucket metadata is catalog state — a NEW session resuming over a
+    warehouse that already holds bucketed files must re-declare the spec, not
+    rewrite the data (pinned by the kg_submit resume test: the second CLI run
+    performs zero data writes). The declared spec must match how the files
+    were written (write_bucketed), or joins would be silently wrong."""
+    schema = spark.read.parquet(path).schema
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    cols = ", ".join(f"`{c}`" for c in bucket_cols)
+    spark.sql(
+        f"CREATE TABLE {table_name} ({fields}) USING parquet "
+        f"CLUSTERED BY ({cols}) SORTED BY ({cols}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+
+
 def colocated_join(
     spark: SparkSession,
     left_table: str,

@@ -61,13 +61,25 @@ def entity_token_index(nodes: DataFrame) -> DataFrame:
 def write_entity_index(store, nodes: DataFrame) -> int:
     """Materialize the inverted index as a parquet table partitioned by
     (graph_id, tok_prefix), token-sorted within files so parquet min/max
-    stats skip row groups inside a partition. Rebuild-on-materialize: the
-    index is derived state, versioned by the store's snapshot protocol."""
+    stats skip row groups inside a partition. Full rebuild — for per-graph
+    incremental maintenance use update_entity_index."""
     return store.write_snapshot(
         ENTITY_INDEX_TABLE,
         entity_token_index(nodes),
         partition_by=("graph_id", "tok_prefix"),
         sort_within=("token",),
+    )
+
+
+def update_entity_index(store, nodes: DataFrame, graph_id: str) -> int:
+    """Incremental index maintenance: rewrite ONLY ``graph_id``'s index
+    partition (the same partition-scoped commit protocol as nodes/edges), so
+    re-materializing one graph on a 10k-graph warehouse touches one
+    partition's index files and re-references the rest."""
+    df = entity_token_index(nodes.filter(F.col("graph_id") == graph_id))
+    return store.upsert_graph_partitions(
+        ENTITY_INDEX_TABLE, df,
+        sort_within=("token",), sub_partition=("tok_prefix",),
     )
 
 

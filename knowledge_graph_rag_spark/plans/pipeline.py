@@ -167,19 +167,18 @@ def run(
     metrics_parts.append(partition_lineage(edges, run_id, "materialize_edges"))
 
     # --- entity index (fulltext parity) ----------------------------------------
-    # Materialize-time token inverted index over ALL node labels (the Neo4j
+    # Materialize-time token inverted index over node labels (the Neo4j
     # fulltext index the reference creates at startup, neo4j_service.py:38-53):
     # entity_search probes prune to one (graph_id, tok_prefix) partition
-    # instead of scanning nodes. Derived state — rebuilt per materialize here;
-    # the 100 TB path is a per-graph partition-scoped commit (same protocol as
-    # nodes/edges), which this layout (graph_id leading the partition spec)
-    # already supports.
+    # instead of scanning nodes. Incremental: only THIS graph's index
+    # partition is committed (same partition-scoped protocol as nodes/edges),
+    # other graphs' index partitions are carried by manifest reference.
     from ..operators import retrieval as R
 
     stage(
         "entity_index",
-        lambda: store.read("nodes"),
-        write=lambda df: R.write_entity_index(store, df),
+        lambda: nodes,
+        write=lambda df: R.update_entity_index(store, df, graph_id),
     )
 
     # --- bucketize (default-on; disable for one-shot graphs) ---------------------
@@ -191,11 +190,16 @@ def run(
         from ..operators import bucketing as B
 
         nt, et = f"{graph_id}_nodes_bucketed", f"{graph_id}_edges_bucketed"
-        if (
-            store.is_done("bucketize", graph_id)
-            and spark.catalog.tableExists(nt)
-            and spark.catalog.tableExists(et)
-        ):
+        if store.is_done("bucketize", graph_id):
+            # resume in a NEW session: the files are on disk but bucket
+            # metadata is catalog (per-session) state — re-declare the spec
+            # over the existing files, zero data writes
+            for name, path, cols in (
+                (nt, f"{store.root}/bucketed/{graph_id}_nodes", ["node_id"]),
+                (et, f"{store.root}/bucketed/{graph_id}_edges", ["src"]),
+            ):
+                if not spark.catalog.tableExists(name):
+                    B.register_bucketed(spark, name, path, cols, 16)
             res.stages_skipped.append("bucketize")
         else:
             B.write_bucketed(

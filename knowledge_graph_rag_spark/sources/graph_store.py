@@ -99,12 +99,17 @@ class GraphStore:
         self, table: str, df: DataFrame, *,
         replace_table: bool, sort_within: tuple[str, ...] = (),
         drop_ids: tuple[str, ...] = (),
+        sub_partition: tuple[str, ...] = (),
     ) -> tuple[int, set[str]]:
         """Write df's graph_id partitions as immutable ``v=<snap>`` version
         dirs (ONE Spark job, partitionBy) and commit a manifest referencing
         them plus — unless ``replace_table`` — every untouched partition's
         existing files. ``drop_ids`` removes partitions manifest-only (a
         partition also present in df survives — written data wins).
+        ``sub_partition`` adds secondary partition columns BELOW the version
+        dir (``graph_id=g/v=n/<sub>=x/...``) — commit granularity stays per
+        graph_id, while reads still prune on the sub keys (used by the entity
+        token index, partitioned (graph_id, tok_prefix)).
         Returns (snapshot, graph_ids written)."""
         cur = self.current_snapshot(table)
         old = {}
@@ -118,7 +123,9 @@ class GraphStore:
                 # partitioned path first, then apply this incremental commit
                 # on top of the migrated manifest.
                 legacy = self.spark.read.parquet(self._snapshot_path(table, cur))
-                self._commit_partitions(table, legacy, replace_table=True)
+                self._commit_partitions(
+                    table, legacy, replace_table=True, sub_partition=sub_partition
+                )
                 cur = self.current_snapshot(table)
                 m = self._load_partition_manifest(table, cur)
             old = dict(m.get("partitions", {})) if m else {}
@@ -126,7 +133,7 @@ class GraphStore:
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
         tmp = os.path.join(self._table_dir(table), f"_tmp-{snap}")
-        df.write.mode("overwrite").partitionBy("graph_id").parquet(tmp)
+        df.write.mode("overwrite").partitionBy("graph_id", *sub_partition).parquet(tmp)
         changed: dict[str, str] = {}
         os.makedirs(self._data_dir(table), exist_ok=True)
         for name in sorted(os.listdir(tmp)):
@@ -177,9 +184,10 @@ class GraphStore:
         ``sort_within`` clusters rows inside each file (the poor man's
         Z-order): sorting nodes by node_id / edges by src tightens parquet
         min-max stats so point lookups and range scans skip row groups."""
-        if partition_by == ("graph_id",):
+        if partition_by[:1] == ("graph_id",):
             snap, _ = self._commit_partitions(
-                table, df, replace_table=True, sort_within=sort_within
+                table, df, replace_table=True, sort_within=sort_within,
+                sub_partition=tuple(partition_by[1:]),
             )
             return snap
         cur = self.current_snapshot(table)
@@ -193,6 +201,21 @@ class GraphStore:
         writer.parquet(path)
         with open(os.path.join(path, "_COMMITTED"), "w") as f:
             json.dump({"snapshot": snap, "committed_at": time.time()}, f)
+        return snap
+
+    def upsert_graph_partitions(
+        self, table: str, df: DataFrame, *,
+        sort_within: tuple[str, ...] = (),
+        sub_partition: tuple[str, ...] = (),
+    ) -> int:
+        """Partition-scoped commit for DERIVED graph_id-partitioned tables
+        (e.g. the entity token index): rewrites only df's graph_id
+        partitions, carrying every other graph by manifest reference — the
+        same incremental protocol nodes/edges use via store_graph."""
+        snap, _ = self._commit_partitions(
+            table, df, replace_table=False,
+            sort_within=sort_within, sub_partition=sub_partition,
+        )
         return snap
 
     def read(self, table: str, snapshot: int | None = None) -> DataFrame:

@@ -84,6 +84,47 @@ def test_entity_search_indexed(kg, spark, tmp_path):
     assert "tok_prefix" in probe_plan.split("PartitionFilters")[1].splitlines()[0]
 
 
+def test_entity_index_incremental_update(kg, spark, tmp_path):
+    """update_entity_index commits ONE graph's index partition: a sibling
+    graph's index files are untouched (manifest-carried), and probes against
+    both graphs work from the same table."""
+    import os
+
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    nodes, _ = kg
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    other = spark.createDataFrame(
+        [("g2", "x1", "Zeta Widget", "product", "thing"),
+         ("g2", "x2", "Zeta Gadget", "product", "thing")],
+        "graph_id string, node_id string, label string, type string, "
+        "entity_class string",
+    )
+    R.update_entity_index(store, other, "g2")     # creates the table
+    R.update_entity_index(store, nodes, "kg")     # incremental second graph
+
+    def g2_files():
+        out = {}
+        data = os.path.join(store.root, R.ENTITY_INDEX_TABLE, "data")
+        for dirpath, _, files in os.walk(data):
+            if "graph_id=g2" in dirpath:
+                for f in files:
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = g2_files()
+    assert before
+    R.update_entity_index(store, nodes, "kg")     # re-run kg only
+    assert g2_files() == before                   # g2's physical files untouched
+
+    index = store.read(R.ENTITY_INDEX_TABLE)
+    zeta = R.entity_search_indexed(index, other, "zeta", 10).collect()
+    assert {r.node_id for r in zeta} == {"x1", "x2"}
+    acme = R.entity_search_indexed(index, nodes, "acme", 10).collect()
+    assert acme and all("acme" in r.label.lower() for r in acme)
+
+
 def test_graph_overview(kg):
     nodes, edges = kg
     rows = R.graph_overview(nodes, edges).collect()
