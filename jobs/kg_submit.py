@@ -37,6 +37,9 @@ def main() -> None:
                     "→ telemetry graph + cross-source merge")
     ap.add_argument("--no-lsh", action="store_true",
                     help="skip MinHash-LSH canonicalization stage")
+    ap.add_argument("--no-bucketize", action="store_true",
+                    help="skip the bucketed query-table copies (default on: "
+                    "J1/J2 joins plan exchange-free for downstream readers)")
     args = ap.parse_args()
 
     from knowledge_graph_rag_spark import synth
@@ -60,7 +63,8 @@ def main() -> None:
     else:
         res = pipeline.run(spark, docs, store, graph_id=args.graph_id,
                            run_id=args.run_id,
-                           enable_lsh_canonicalization=not args.no_lsh)
+                           enable_lsh_canonicalization=not args.no_lsh,
+                           bucketed_query_tables=not args.no_bucketize)
 
     print(json.dumps({
         "run_id": res.run_id,

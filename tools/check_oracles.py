@@ -1,10 +1,12 @@
-"""Local replica of the driver's correctness check: run every queries() entry
-on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, sorted
-column names, an order-insensitive value hash, AND per-column numeric kinds
-(int vs float vs object) — the r01 driver caught a DuckDB HUGEINT-vs-Spark
-long mismatch that the old stringify-only hash missed. Rows-only entries are
-additionally pushed through a pandas sort_values canonicalization that mirrors
-the driver's (so array-typed columns fail here, not in CORRECTNESS). Usage:
+"""Local replica of the driver's correctness check — STRICTER and WIDER than
+the driver: every registered entry (the 50-entry driver window, in driver
+order, PLUS the extended set) runs on Spark with its oracle_sql() on DuckDB
+at sf0.01, comparing row count, sorted column names, an order-insensitive
+value hash, AND per-column numeric kinds (int vs float vs object) — the r01
+driver caught a DuckDB HUGEINT-vs-Spark long mismatch that the old
+stringify-only hash missed. Rows-only entries are additionally pushed through
+a pandas sort_values canonicalization that mirrors the driver's (so
+array-typed columns fail here, not in CORRECTNESS). Usage:
 
     python tools/check_oracles.py [sf_dir] [name ...]
 """
