@@ -225,7 +225,10 @@ def simhash_pairs(
     # localCheckpoint, not cache(): a library function must not leave managed
     # memory pinned after the caller drops the result — checkpoint blocks are
     # reclaimed by the ContextCleaner once unreferenced, and the truncated
-    # lineage is what the band self-join reuses
+    # lineage is what the band self-join reuses. Tradeoff: lineage truncation
+    # means a lost executor fails the job instead of recomputing — on
+    # clusters with preemptible executors, prefer reliable checkpointing
+    # (spark.sparkContext.setCheckpointDir + .checkpoint()) at the call site
     hashed = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
     ).localCheckpoint(eager=False)

@@ -49,7 +49,12 @@ def entity_token_index(nodes: DataFrame) -> DataFrame:
         F.explode(
             F.array_distinct(
                 F.filter(
-                    F.split(F.lower(F.col("label")), r"\W+"),
+                    # (?U): Java regex \W is ASCII by default while Python's
+                    # is Unicode-aware — without the flag, 'Café' indexes as
+                    # 'caf' and a Python-tokenized probe 'café' can never
+                    # match. Both sides tokenize Unicode-identically now
+                    # (pinned by test_entity_search_indexed's unicode probe).
+                    F.split(F.lower(F.col("label")), r"(?U)\W+"),
                     lambda w: w != F.lit(""),
                 )
             )
@@ -83,6 +88,20 @@ def update_entity_index(store, nodes: DataFrame, graph_id: str) -> int:
     )
 
 
+def refresh_entity_index(store, graph_id: str) -> None:
+    """Re-derive one graph's index partition from its CURRENT nodes
+    partition. Call after ANY commit that changed the graph's nodes
+    (incremental fold-in, telemetry/merge store_graph, …) — the invariant is
+    index partition == entity_token_index(current nodes partition), pinned by
+    test_incremental_update_keeps_index_consistent."""
+    part = store.read_partition("nodes", graph_id) if store.exists("nodes") else None
+    if part is None:
+        if store.exists(ENTITY_INDEX_TABLE):
+            store._drop_partitions(ENTITY_INDEX_TABLE, (graph_id,))
+        return
+    update_entity_index(store, part, graph_id)
+
+
 def _query_tokens(text: str) -> list[str]:
     import re
 
@@ -90,9 +109,12 @@ def _query_tokens(text: str) -> list[str]:
 
 
 def entity_search_indexed(index: DataFrame, nodes: DataFrame, text: str,
-                          limit: int = 20) -> DataFrame:
-    """Index-routed entity search: each query token probes ONE tok_prefix
-    partition (partition pruning) with a token word-prefix match; multi-token
+                          limit: int = 20,
+                          graph_id: str | None = None) -> DataFrame:
+    """Index-routed entity search: each query token probes ONE
+    (graph_id, tok_prefix) partition (partition pruning — pass ``graph_id``
+    whenever the search is graph-scoped, or the probe reads the needle's
+    tok_prefix dir of EVERY graph) with a token word-prefix match; multi-token
     queries AND via node_id semi-joins; the matched id set semi-joins back to
     nodes. Semantics = fulltext word-prefix match (like the reference's Neo4j
     ``CONTAINS``-backed fulltext probes for entity words) — it matches needles
@@ -103,6 +125,8 @@ def entity_search_indexed(index: DataFrame, nodes: DataFrame, text: str,
         return nodes.select(
             "node_id", "label", "type", "entity_class"
         ).limit(0)
+    if graph_id is not None:
+        index = index.filter(F.col("graph_id") == graph_id)
     cand = None
     for t in needles:
         hit = (

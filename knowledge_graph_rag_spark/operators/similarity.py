@@ -171,12 +171,12 @@ def _resolve_n_clusters(n_clusters: int | None, vectors: DataFrame) -> int:
 def _sample_for_fit(vectors: DataFrame, vec_col: str, sample_rows: int,
                     sample_fraction: float | None, seed: int) -> list:
     """Driver-side fit sample. Default: first ``sample_rows`` rows (cheap, no
-    full scan). For corpora where the leading partitions are not
-    representative — or where you want the sample drawn across ALL
-    partitions — pass ``sample_fraction``: a per-partition Bernoulli sample
-    (distributed, no shuffle) is taken first and only ``sample_rows`` of it
-    are collected, keeping driver memory bounded at sample_rows·dim doubles
-    no matter the corpus size."""
+    full scan). ``sample_fraction`` applies a per-partition Bernoulli sample
+    first (distributed, no shuffle); ``sample_rows`` stays as a hard driver-
+    memory cap on top. NOTE the cap short-circuits on leading partitions, so
+    for a truly cross-partition sample size the fraction to yield ≈
+    sample_rows total (fraction ≈ sample_rows / corpus_rows) — then the cap
+    never binds and every partition contributes proportionally."""
     v = vectors.select(_as_double(F.col(vec_col)))
     if sample_fraction is not None:
         v = v.sample(withReplacement=False, fraction=sample_fraction, seed=seed)

@@ -291,6 +291,11 @@ def run_incremental(
             old_edges.unionByName(edges_new, allowMissingColumns=True)
         )
     store.store_graph(nodes_new, edges_new)
+    # keep the fulltext index consistent with the folded-in nodes (same
+    # invariant as run()'s entity_index stage: index == f(current partition))
+    from ..operators import retrieval as R
+
+    R.refresh_entity_index(store, graph_id)
 
     metrics = partition_lineage(triples_new, run_id, "incremental_triples")
     store.write_snapshot(f"metrics_{run_id}", metrics, partition_by=())
@@ -329,6 +334,9 @@ def run_full(
         t_nodes = GB.telemetry_nodes(conns, telemetry_graph_id)
         t_edges = GB.telemetry_edges(conns, telemetry_graph_id)
         store.store_graph(t_nodes, t_edges)
+        from ..operators import retrieval as R
+
+        R.refresh_entity_index(store, telemetry_graph_id)
         store.mark_done("telemetry", telemetry_graph_id, run_id=run_id)
         res.stages_run.append("telemetry")
     else:
@@ -343,6 +351,9 @@ def run_full(
         te = edges.filter(F.col("graph_id") == telemetry_graph_id)
         mn, me, stats = GB.merge_graphs(sn, se, tn, te, merged_graph_id)
         store.store_graph(mn, me)
+        from ..operators import retrieval as R
+
+        R.refresh_entity_index(store, merged_graph_id)
         store.write_snapshot("merge_stats", stats, partition_by=())
         store.mark_done("merge", merged_graph_id, run_id=run_id)
         res.stages_run.append("merge")

@@ -96,7 +96,10 @@ def _pdf_unescape(s: str) -> str:
 
     def sub(m):
         g = m.group(1)
-        if g[0].isdigit():
+        # only [0-7]{1,3} is octal; per spec, a backslash before any other
+        # char (incl. '8'/'9') is simply dropped — int(g, 8) on '8' would
+        # raise and poison the whole file's row
+        if re.fullmatch(r"[0-7]{1,3}", g):
             return chr(int(g, 8))
         if g == "\n":  # line continuation
             return ""

@@ -403,8 +403,10 @@ class GraphStore:
 
     def delete_graph(self, graph_id: str) -> None:
         """S13 DETACH DELETE: manifest-only commit dropping the partition —
-        no data files read or written."""
-        for table in ("nodes", "edges"):
+        no data files read or written. Derived per-graph tables (the entity
+        token index, operators/retrieval.py) are dropped too, so a deleted
+        graph can't leave dangling index rows behind."""
+        for table in ("nodes", "edges", "entity_index"):
             if not self.exists(table):
                 continue
             self._drop_partitions(table, (graph_id,))

@@ -96,7 +96,8 @@ def test_entity_index_incremental_update(kg, spark, tmp_path):
     store = GraphStore(spark, str(tmp_path / "wh"))
     other = spark.createDataFrame(
         [("g2", "x1", "Zeta Widget", "product", "thing"),
-         ("g2", "x2", "Zeta Gadget", "product", "thing")],
+         ("g2", "x2", "Zeta Gadget", "product", "thing"),
+         ("g2", "x3", "Café Agua", "org", "name")],
         "graph_id string, node_id string, label string, type string, "
         "entity_class string",
     )
@@ -123,6 +124,62 @@ def test_entity_index_incremental_update(kg, spark, tmp_path):
     assert {r.node_id for r in zeta} == {"x1", "x2"}
     acme = R.entity_search_indexed(index, nodes, "acme", 10).collect()
     assert acme and all("acme" in r.label.lower() for r in acme)
+
+    # unicode probe: index and query tokenizers agree ((?U) on the Java side)
+    cafe = R.entity_search_indexed(index, other, "café", 10).collect()
+    assert {r.node_id for r in cafe} == {"x3"}
+
+    # graph-scoped probe prunes on BOTH partition keys
+    scoped = R.entity_search_indexed(index, other, "zeta", 10, graph_id="g2")
+    assert {r.node_id for r in scoped.collect()} == {"x1", "x2"}
+    probe_plan = index.filter(
+        (F.col("graph_id") == "g2")
+        & F.col("tok_prefix").startswith("ze")
+        & F.col("token").startswith("zeta")
+    )._jdf.queryExecution().executedPlan().toString()
+    pf = probe_plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "graph_id" in pf and "tok_prefix" in pf
+
+    # delete_graph drops the derived index partition — no dangling rows
+    store.store_graph(
+        other, spark.createDataFrame(
+            [], "graph_id string, edge_id string, src string, dst string, "
+                "rel_type string")
+    )
+    store.delete_graph("g2")
+    assert store.read(R.ENTITY_INDEX_TABLE).filter(
+        F.col("graph_id") == "g2").count() == 0
+
+
+def test_incremental_update_keeps_index_consistent(spark, tmp_path):
+    """run_incremental refreshes the fulltext index: after a fold-in, the
+    index partition equals entity_token_index(current nodes partition)."""
+    from knowledge_graph_rag_spark.plans import pipeline
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    pipeline.run(spark, synth.documents_df(spark, 30), store, graph_id="kg",
+                 run_id="r1", enable_lsh_canonicalization=False,
+                 bucketed_query_tables=False)
+    new_batch = synth.documents_df(spark, 45).filter(
+        F.col("doc_id") >= "doc00000030"
+    )
+    pipeline.run_incremental(spark, new_batch, store, graph_id="kg",
+                             run_id="inc1")
+    expected = {
+        tuple(r)
+        for r in R.entity_token_index(
+            store.read_partition("nodes", "kg")
+        ).collect()
+    }
+    actual = {
+        tuple(r)
+        for r in store.read(R.ENTITY_INDEX_TABLE)
+        .filter(F.col("graph_id") == "kg")
+        .select("graph_id", "node_id", "token", "tok_prefix")
+        .collect()
+    }
+    assert actual == expected and actual
 
 
 def test_graph_overview(kg):
