@@ -1,18 +1,25 @@
 """Multimodal span handling: media as opaque binary + typed metadata.
 
 The interleaved documents carry media spans (kind ∈ {image, audio, table},
-media_ref URI). Per the task brief, image/audio decode libraries are not in
-this container, so the *decode* step is stubbed behind a deterministic fake —
-but the Spark-side plumbing (schema, partitioning, Arrow batch shape,
-mapInPandas signature) is real and tested:
+media_ref URI). Codec *libraries* are not in this container, but the decode
+step is real wherever the standard library + numpy suffice
+(functions/mediacodecs.py): PNG (full 8-bit pixel decode incl. scanline
+unfiltering), BMP, PPM, and PCM WAV are sniffed and decoded with status
+``ok``; only JPEG/MP3/MP4-class codecs remain stubbed behind a deterministic
+fake (status ``ok_stub``), with the Spark-side plumbing (schema,
+partitioning, Arrow batch shape, mapInPandas signature) identical on both
+paths:
 
 - :func:`media_catalog` — media spans → (doc_id, span_order, kind, media_ref,
   fetch-partition key) with deterministic bucketing so co-located fetches
   batch per storage prefix.
 - :func:`decode_media` — mapInPandas over the catalog: resolves each
-  media_ref to bytes + typed metadata. The real implementation would fetch
-  and decode (PIL/librosa/pyav); here ``_fake_fetch`` synthesizes
-  deterministic bytes so shape/partition logic is exercised end-to-end.
+  media_ref to bytes (``fetcher`` is injectable, like the URL source;
+  default is the deterministic offline ``_fake_fetch``), sniffs the
+  container, and emits REAL width/height/duration for stdlib-decodable
+  formats, stub metadata otherwise.
+- :func:`resize_images` — real nearest-neighbor resample (numpy indexing)
+  for decodable images; byte-fold stub for opaque blobs.
 - :func:`media_features` — Pandas-UDF feature extraction (byte histogram as
   the stand-in for an image/audio encoder), returning fixed-dim float arrays
   that flow into the same similarity/linking operators as text embeddings.
@@ -70,29 +77,43 @@ def _fake_fetch(media_ref: str, kind: str) -> bytes:
     return (h * ((size // len(h)) + 1))[:size]
 
 
-def decode_media(catalog: DataFrame) -> DataFrame:
+def decode_media(catalog: DataFrame, fetcher=None) -> DataFrame:
     """mapInPandas: fetch + decode each media span → MEDIA_SCHEMA rows.
 
-    The decode branch per kind is the integration point for real codecs;
-    each raises into ``decode_status`` rather than failing the task, so one
-    corrupt object never kills a 10^12-row job (poison-pill isolation).
-    """
+    ``fetcher(media_ref, kind) -> bytes`` is injectable (production: ranged
+    object-store GET); the default synthesizes deterministic offline bytes.
+    Fetched content is SNIFFED: PNG/BMP/PPM/WAV decode for real via
+    functions/mediacodecs (status ``ok``, true width/height/duration);
+    formats needing codec libs keep deterministic stub metadata (status
+    ``ok_stub``). Every row raises into ``decode_status`` rather than failing
+    the task, so one corrupt object never kills a 10^12-row job (poison-pill
+    isolation)."""
+    from ..functions import mediacodecs as MC
+
+    fetch = fetcher or _fake_fetch
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 try:
-                    content = _fake_fetch(row.media_ref, row.kind)
-                    h = hashlib.sha256(content).digest()
+                    content = fetch(row.media_ref, row.kind)
+                    probe = MC.probe(content)
                     meta = {"width": None, "height": None, "duration_ms": None}
-                    if row.kind == "image":
-                        # real: PIL.Image.open(io.BytesIO(content)).size
-                        meta["width"] = 64 + h[1] * 4
-                        meta["height"] = 64 + h[2] * 4
-                    elif row.kind == "audio":
-                        # real: soundfile/librosa duration
-                        meta["duration_ms"] = 500 + int.from_bytes(h[3:5], "big")
+                    if probe is not None:  # real stdlib-decodable container
+                        meta["width"] = probe.get("width")
+                        meta["height"] = probe.get("height")
+                        meta["duration_ms"] = probe.get("duration_ms")
+                        status = "ok"
+                    else:
+                        h = hashlib.sha256(content).digest()
+                        if row.kind == "image":
+                            # codec-lib formats (jpeg, …): stub dims
+                            meta["width"] = 64 + h[1] * 4
+                            meta["height"] = 64 + h[2] * 4
+                        elif row.kind == "audio":
+                            meta["duration_ms"] = 500 + int.from_bytes(h[3:5], "big")
+                        status = "ok_stub"
                     out.append(
                         {
                             "doc_id": row.doc_id,
@@ -102,7 +123,7 @@ def decode_media(catalog: DataFrame) -> DataFrame:
                             "content": content,
                             "n_bytes": len(content),
                             **meta,
-                            "decode_status": "ok_stub",
+                            "decode_status": status,
                         }
                     )
                 except Exception as ex:  # noqa: BLE001 — poison-pill isolation
@@ -189,10 +210,12 @@ def sample_frames(decoded: DataFrame, n_frames: int = 4) -> DataFrame:
 
 def resize_images(decoded: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Image resize to a fixed training shape — (…, width, height,
-    resized_bytes, decode_status). The resample itself (PIL Image.resize —
-    NOT IMPLEMENTED in this container) is stubbed with a deterministic
-    byte-fold to width*height; batch shape, schema, and per-row isolation
-    are the real contract."""
+    resized_bytes, decode_status). Decodable containers (PNG/BMP/PPM) get a
+    REAL nearest-neighbor resample (numpy index-gather — what
+    cv2.INTER_NEAREST computes), status ``ok``; opaque blobs (jpeg-class,
+    fake fetches) keep the deterministic byte-fold stub, status ``ok_stub``.
+    Batch shape, schema, and per-row isolation are identical on both
+    paths."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.StringType()),
@@ -206,18 +229,27 @@ def resize_images(decoded: DataFrame, width: int = 224, height: int = 224) -> Da
     )
     target = width * height
 
+    from ..functions import mediacodecs as MC
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 try:
-                    arr = np.frombuffer(bytes(row.content), dtype=np.uint8)
-                    if arr.size == 0:
-                        # the fixed-shape contract can't hold for an empty
-                        # blob — poison-pill the row, don't claim ok
-                        raise ValueError("empty content")
-                    reps = (target // max(arr.size, 1)) + 1
-                    resized = np.tile(arr, reps)[:target]
+                    content = bytes(row.content)
+                    img = MC.decode_image_array(content)
+                    if img is not None:
+                        resized = MC.resize_nearest(img, width, height)
+                        status = "ok"
+                    else:
+                        arr = np.frombuffer(content, dtype=np.uint8)
+                        if arr.size == 0:
+                            # the fixed-shape contract can't hold for an
+                            # empty blob — poison-pill, don't claim ok
+                            raise ValueError("empty content")
+                        reps = (target // max(arr.size, 1)) + 1
+                        resized = np.tile(arr, reps)[:target]
+                        status = "ok_stub"
                     out.append(
                         {
                             "doc_id": row.doc_id,
@@ -226,7 +258,7 @@ def resize_images(decoded: DataFrame, width: int = 224, height: int = 224) -> Da
                             "width": width,
                             "height": height,
                             "resized_bytes": resized.tobytes(),
-                            "decode_status": "ok_stub",
+                            "decode_status": status,
                         }
                     )
                 except Exception as ex:  # noqa: BLE001

@@ -221,6 +221,63 @@ def minimal_pdf_bytes(lines: tuple[str, ...], compress: bool = True) -> bytes:
     return out
 
 
+def minimal_png_bytes(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Deterministic solid-color 8-bit RGB PNG (filter-0 scanlines) built
+    with stdlib zlib + crc32 — decodable by functions/mediacodecs.decode_png
+    AND any real PNG reader."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = b"\x00" + bytes(rgb) * width
+    idat = zlib.compress(row * height)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def minimal_bmp_bytes(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Deterministic solid-color 24-bit BI_RGB bottom-up BMP."""
+    import struct
+
+    row = (bytes(rgb[::-1]) * width)
+    row += b"\x00" * ((-len(row)) % 4)
+    pixels = row * height
+    offset = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            len(pixels), 2835, 2835, 0, 0))
+    return header + pixels
+
+
+def minimal_ppm_bytes(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Deterministic solid-color P6 PPM."""
+    return (f"P6\n{width} {height}\n255\n".encode()
+            + bytes(rgb) * (width * height))
+
+
+def minimal_wav_bytes(duration_ms: int, sample_rate: int = 8000,
+                      freq_step: int = 7) -> bytes:
+    """Deterministic 16-bit mono PCM WAV (sawtooth of the frame index)."""
+    import io as _io
+    import wave
+
+    import numpy as _np
+
+    n = (duration_ms * sample_rate) // 1000
+    samples = ((_np.arange(n) * freq_step) % 2048 - 1024).astype(_np.int16)
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
 # --- F2: network logs --------------------------------------------------------
 
 _EPOCH = datetime(2026, 1, 1, 0, 0, 0)

@@ -211,6 +211,52 @@ def test_media_pipeline(spark):
     )
 
 
+def test_media_real_stdlib_decode(spark):
+    """Injectable fetcher serving REAL containers: PNG/BMP/PPM images and PCM
+    WAV audio decode with status ok and true metadata (no codec libs —
+    functions/mediacodecs); opaque blobs keep the honest ok_stub path; the
+    image resample is a real nearest-neighbor resize."""
+    from knowledge_graph_rag_spark import synth
+    from knowledge_graph_rag_spark.operators.extract import explode_spans
+
+    spans = explode_spans(synth.documents_df(spark, 60))
+    catalog = MM.media_catalog(spans)
+
+    def fetch(ref: str, kind: str) -> bytes:
+        if kind == "image":
+            fmt = ("png", "bmp", "ppm")[sum(ref.encode()) % 3]
+            build = {"png": synth.minimal_png_bytes,
+                     "bmp": synth.minimal_bmp_bytes,
+                     "ppm": synth.minimal_ppm_bytes}[fmt]
+            return build(17, 9, (40, 80, 120))
+        if kind == "audio":
+            return synth.minimal_wav_bytes(1200)
+        return b"\x01\x02opaque"  # table-class blobs stay stubbed
+
+    decoded = MM.decode_media(catalog, fetcher=fetch).cache()
+    imgs = decoded.filter(F.col("kind") == "image").collect()
+    assert imgs and all(
+        r.decode_status == "ok" and r.width == 17 and r.height == 9 for r in imgs
+    )
+    auds = decoded.filter(F.col("kind") == "audio").collect()
+    assert auds and all(
+        r.decode_status == "ok" and r.duration_ms == 1200 for r in auds
+    )
+    others = decoded.filter(~F.col("kind").isin("image", "audio")).collect()
+    assert all(r.decode_status == "ok_stub" for r in others)
+
+    # real nearest-neighbor resize: solid 17x9 RGB → solid 12x8 RGB
+    resized = MM.resize_images(decoded, width=12, height=8).collect()
+    assert resized and all(r.decode_status == "ok" for r in resized)
+    import numpy as np
+
+    for r in resized:
+        arr = np.frombuffer(bytes(r.resized_bytes), dtype=np.uint8)
+        assert arr.size == 12 * 8 * 3
+        assert (arr.reshape(8, 12, 3) == [40, 80, 120]).all()
+    decoded.unpersist()
+
+
 def test_salted_collect_set_equivalence(spark):
     df = spark.createDataFrame(
         [(i % 3, i % 7) for i in range(500)], "k int, v int"
