@@ -245,6 +245,75 @@ def test_streaming_ingest(spark, tmp_path):
     assert any(k.startswith("stream_batch::g_stream") for k in store.completed_stages())
 
 
+def test_stream_documents_to_kg_matches_batch(spark, tmp_path):
+    """North-star streaming: interleaved docs dropped as parquet files fold
+    into the graph per micro-batch (foreachBatch → run_incremental). The
+    final nodes/edges and the entity index equal a from-scratch BATCH run
+    over the same corpus, and a restarted stream replays nothing (manifest +
+    checkpoint idempotence)."""
+    from knowledge_graph_rag_spark import synth
+    from knowledge_graph_rag_spark.operators import retrieval as R
+    from knowledge_graph_rag_spark.plans import pipeline
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+    from knowledge_graph_rag_spark.streaming.ingest import (
+        stream_documents,
+        stream_documents_to_kg,
+    )
+
+    drop = tmp_path / "docs_drop"
+    drop.mkdir()
+    # two "arrivals" as separate parquet files, one micro-batch each
+    synth.documents_df(spark, 25).write.parquet(str(drop / "f1.parquet"))
+    synth.documents_df(spark, 40).filter(
+        F.col("doc_id") >= "doc00000025"
+    ).write.parquet(str(drop / "f2.parquet"))
+
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    q = stream_documents_to_kg(
+        stream_documents(spark, str(drop) + "/*", max_files_per_trigger=1),
+        store, "kg_s", str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    ref_store = GraphStore(spark, str(tmp_path / "ref_wh"))
+    pipeline.run(spark, synth.documents_df(spark, 40), ref_store,
+                 graph_id="kg_s", run_id="batch",
+                 enable_lsh_canonicalization=False,
+                 bucketed_query_tables=False)
+
+    got_nodes = {r.node_id for r in store.read("nodes").collect()}
+    ref_nodes = {r.node_id for r in ref_store.read("nodes").collect()}
+    assert got_nodes == ref_nodes and got_nodes
+    got_edges = {
+        (r.src, r.dst, r.rel_type) for r in store.read("edges").collect()
+    }
+    ref_edges = {
+        (r.src, r.dst, r.rel_type) for r in ref_store.read("edges").collect()
+    }
+    assert got_edges == ref_edges
+    # entity index stayed consistent through the streaming fold-ins
+    idx = {
+        (r.node_id, r.token)
+        for r in store.read(R.ENTITY_INDEX_TABLE)
+        .filter(F.col("graph_id") == "kg_s").collect()
+    }
+    ref_idx = {
+        (r.node_id, r.token)
+        for r in ref_store.read(R.ENTITY_INDEX_TABLE)
+        .filter(F.col("graph_id") == "kg_s").collect()
+    }
+    assert idx == ref_idx
+
+    # restart over the same checkpoint: nothing replays, store unchanged
+    snaps_before = store.current_snapshot("nodes")
+    q2 = stream_documents_to_kg(
+        stream_documents(spark, str(drop) + "/*", max_files_per_trigger=1),
+        store, "kg_s", str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert store.current_snapshot("nodes") == snaps_before
+
+
 def test_stats_and_quality(spark):
     from knowledge_graph_rag_spark import synth
     from knowledge_graph_rag_spark.operators import graph_build as GB
