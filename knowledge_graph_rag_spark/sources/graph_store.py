@@ -413,12 +413,16 @@ class GraphStore:
 
     def compact_partition(self, table: str, graph_id: str,
                           target_files: int = 1,
-                          sort_within: tuple[str, ...] = ()) -> None:
+                          sort_within: tuple[str, ...] = (),
+                          sub_partition: tuple[str, ...] = ()) -> None:
         """Iceberg ``rewrite_data_files`` analogue: rewrite one partition's
         accumulated small files (every incremental commit adds up to
         shuffle-partition-count files) into ``target_files``, committed as a
         normal snapshot. Content is unchanged; pair with vacuum() to reclaim
-        the superseded version dirs."""
+        the superseded version dirs. For sub-partitioned tables (the entity
+        index) pass the same ``sub_partition`` the table was written with, or
+        the rewrite would flatten the sub-partition dirs and lose those
+        columns (they live in the directory names, not the files)."""
         cur = self.current_snapshot(table)
         if cur is None or self._load_partition_manifest(table, cur) is None:
             # a legacy whole-dir snapshot has no partition manifest; a
@@ -430,9 +434,15 @@ class GraphStore:
         part = self.read_partition(table, graph_id)
         if part is None:
             raise FileNotFoundError(f"no partition {graph_id} in {table}")
+        if sub_partition:
+            # coalesce per sub-partition value, not across them
+            part = part.repartition(target_files, *sub_partition)
+        else:
+            part = part.coalesce(target_files)
         self._commit_partitions(
-            table, part.coalesce(target_files),
+            table, part,
             replace_table=False, sort_within=sort_within,
+            sub_partition=sub_partition,
         )
 
     def vacuum(self, table: str, keep_last: int = 2) -> list[str]:

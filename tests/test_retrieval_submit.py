@@ -140,6 +140,17 @@ def test_entity_index_incremental_update(kg, spark, tmp_path):
     pf = probe_plan.split("PartitionFilters")[1].splitlines()[0]
     assert "graph_id" in pf and "tok_prefix" in pf
 
+    # compaction keeps the sub-partition layout (tok_prefix lives in dir
+    # names) — search is unchanged after rewrite
+    store.compact_partition(
+        "entity_index", "g2", sort_within=("token",),
+        sub_partition=("tok_prefix",),
+    )
+    index2 = store.read(R.ENTITY_INDEX_TABLE)
+    assert "tok_prefix" in index2.columns
+    zeta2 = R.entity_search_indexed(index2, other, "zeta", 10, graph_id="g2")
+    assert {r.node_id for r in zeta2.collect()} == {"x1", "x2"}
+
     # delete_graph drops the derived index partition — no dangling rows
     store.store_graph(
         other, spark.createDataFrame(
