@@ -90,15 +90,23 @@ def ngram_jaccard_pairs(
     id_a < id_b holds by construction."""
     sh = word_shingles(df, id_col, text_col, n)
     dfs = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh_ok = (
-        sh.join(dfs.filter(F.col("df") <= max_df), "shingle", "left_semi")
+    # hot shingles (df > cap) are FEW by construction — broadcast anti-join
+    # against them instead of shuffling the whole shingle set through a
+    # semi-join with the large ok-set (one big Exchange saved)
+    hot = dfs.filter(F.col("df") > max_df).select("shingle")
+    sh_ok = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    grouped = sh_ok.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
     )
-    sizes = sh_ok.groupBy("id").agg(F.count("*").alias("sz"))
-    buckets = (
-        sh_ok.groupBy("shingle")
-        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    # per-doc filtered-set sizes derive from the grouped arrays (each ≤
+    # max_df elements — bounded explode), NOT from a third scan of the raw
+    # shingle stream: one shingle materialization feeds sizes AND buckets
+    sizes = (
+        grouped.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("sz"))
     )
+    buckets = grouped.filter(F.size("ids") >= 2)
     ids = F.col("ids")
     combos = F.flatten(
         F.transform(
