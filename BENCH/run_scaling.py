@@ -4,9 +4,12 @@ stand-in for N vs 4N executors), throughput at both + efficiency =
 (T_N / T_4N) / 4. The pair sits below the shared host's memory-bandwidth
 ceiling (see the host-ceiling note in BENCH/BASELINE.md).
 
-Each level runs in its own subprocess so the JVM/session is cold-started
-identically; the measured section excludes session startup (we time the job,
-not the JVM boot, mirroring how a long-lived cluster amortizes startup).
+Each level is launched exactly the way the north rule says the job ships:
+``spark-submit --py-files kgrs.zip BENCH/scale_child.py`` from OUTSIDE the
+repo (the engine package comes only from the zip), in its own cold JVM,
+CPU-pinned with taskset. The measured section excludes session startup (we
+time the job, not the JVM boot, mirroring how a long-lived cluster amortizes
+startup).
 
 Usage: python BENCH/run_scaling.py [n_docs]  (default 600000)
 Writes BENCH/scaling_results.json and regenerates BENCH/BASELINE.md.
@@ -16,61 +19,41 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_CHILD = r"""
-import json, os, sys, time
-sys.path.insert(0, {repo!r})
-from knowledge_graph_rag_spark.session import get_spark
-from knowledge_graph_rag_spark import synth
-from knowledge_graph_rag_spark.operators import extract as X
-
-cores, n_docs = int(sys.argv[1]), int(sys.argv[2])
-spark = get_spark(app_name=f"kgrs-scale-{{cores}}", cores=cores,
-                  shuffle_partitions=max(8, cores),
-                  # split the compressed text corpus fine enough that every
-                  # core gets ~10 waves of extraction work (wave-tail
-                  # stragglers cost the high-parallelism level the most)
-                  extra_conf={{"spark.sql.files.maxPartitionBytes": str(768 * 1024),
-                               "spark.sql.files.openCostInBytes": str(64 * 1024)}})
-# materialize the corpus OUTSIDE the measured section: the engine's job is
-# read → extract → resolve, not test-fixture generation
-corpus = f"/tmp/kgrs_scale_corpus_{{n_docs}}.parquet"
-if not os.path.exists(corpus + "/_SUCCESS"):
-    synth.documents_df(spark, n_docs).write.mode("overwrite").parquet(corpus)
-docs = spark.read.parquet(corpus)
-# warm-up: JIT + Python worker pool (enough partitions to spin every worker)
-X.extract_triples(spark, docs.limit(cores * 512)).count()
-# best-of-3: per-run GC/JIT/shuffle noise is several seconds, which at these
-# job lengths swamps the scaling signal; the minimum is the honest capability
-times, n_triples = [], 0
-for _ in range(3):
-    t0 = time.time()
-    n_triples = X.extract_triples(spark, docs).count()
-    times.append(time.time() - t0)
-elapsed = min(times)
-print(json.dumps({{"cores": cores, "docs": n_docs, "sec": round(elapsed, 3),
-                   "docs_per_sec": round(n_docs / elapsed, 1),
-                   "all_runs_sec": [round(t, 3) for t in times],
-                   "triples": n_triples}}))
-spark.stop()
-"""
-
 
 def run_level(cores: int, n_docs: int) -> dict:
-    """One level = one cold subprocess pinned to exactly ``cores`` CPUs via
-    taskset. Pinning matters: local[k] limits task slots, but each task also
-    drives a separate Python worker process, so an unpinned local[4] consumes
-    ~8 cores and fakes the low-parallelism measurement. With affinity, "N
-    cores" means N cores — the honest stand-in for an N-executor cluster."""
-    code = _CHILD.format(repo=REPO)
-    cmd = [sys.executable, "-c", code, str(cores), str(n_docs)]
-    if os.path.exists("/usr/bin/taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
+    """One level = one cold ``spark-submit --py-files`` launch pinned to
+    exactly ``cores`` CPUs via taskset. Pinning matters: local[k] limits
+    task slots, but each task also drives a separate Python worker process,
+    so an unpinned local[4] consumes ~8 cores and fakes the low-parallelism
+    measurement. With affinity, "N cores" means N cores — the honest
+    stand-in for an N-executor cluster."""
+    sys.path.insert(0, REPO)
+    from jobs.make_pyfiles import build
+
+    spark_submit = shutil.which("spark-submit")
+    with tempfile.TemporaryDirectory(prefix="kgrs_scale_") as tmp:
+        child = os.path.join(tmp, "scale_child.py")
+        shutil.copy(os.path.join(REPO, "BENCH", "scale_child.py"), child)
+        if spark_submit:
+            zip_path = build(os.path.join(tmp, "kgrs.zip"))
+            cmd = [spark_submit, "--master", f"local[{cores}]",
+                   "--py-files", zip_path, child, str(cores), str(n_docs)]
+        else:  # fallback: plain python with the repo on sys.path
+            cmd = [sys.executable, child, str(cores), str(n_docs)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        env = dict(os.environ)
+        if not spark_submit:
+            env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                             cwd=tmp, env=env)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -99,10 +82,13 @@ def main() -> None:
     md = f"""# BENCH/BASELINE — scaling + throughput evidence
 
 North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
-parallelism. No real cluster exists in this sandbox, so the same job runs at
-two CPU-pinned local parallelism levels (taskset 2 cores vs 8 cores on the
-same 32-core host, same parquet corpus, cold session each, warm-up excluded,
-best of 3 measured runs).
+parallelism, launched via ``spark-submit --py-files``. No real cluster
+exists in this sandbox, so the same job runs at two CPU-pinned local
+parallelism levels (taskset 2 cores vs 8 cores on the same 32-core host,
+same parquet corpus), each level its own cold
+``spark-submit --master local[k] --py-files kgrs.zip BENCH/scale_child.py``
+launch from outside the repo (package importable only from the zip), warm-up
+excluded, best of 3 measured runs.
 
 ## KG triple-extraction job ({n_docs:,} interleaved docs)
 

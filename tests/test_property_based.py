@@ -147,3 +147,43 @@ def test_ewma_update_invariants(values, alpha):
         r1, m1, v1, n1 = ewma_update(values[:k], 0.0, 0.0, 0, alpha, 3.0, 5)
         r2, m2, v2, n2 = ewma_update(values[k:], m1, v1, n1, alpha, 3.0, 5)
         assert r1 + r2 == rows and (m2, v2, n2) == (mean, var, n)
+
+
+@given(
+    st.integers(1, 40), st.integers(1, 40),
+    st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)),
+)
+@settings(max_examples=40, deadline=None)
+def test_media_builders_roundtrip(w, h, rgb):
+    """Every synth media builder produces a container its mediacodecs decoder
+    inverts exactly (dims + pixel values), for arbitrary sizes/colors."""
+    import numpy as np
+
+    from knowledge_graph_rag_spark.functions import mediacodecs as MC
+
+    for build, decode in (
+        (synth.minimal_png_bytes, MC.decode_png),
+        (synth.minimal_bmp_bytes, MC.decode_bmp),
+        (synth.minimal_ppm_bytes, MC.decode_ppm),
+    ):
+        blob = build(w, h, rgb)
+        arr = decode(blob)
+        assert arr is not None and arr.shape == (h, w, 3)
+        assert (arr == np.array(rgb, dtype=np.uint8)).all()
+        meta = MC.probe(blob)
+        assert meta["width"] == w and meta["height"] == h
+
+
+@given(st.integers(1, 5000), st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=30, deadline=None)
+def test_wav_builder_roundtrip(duration_ms, rate):
+    from knowledge_graph_rag_spark.functions import mediacodecs as MC
+
+    blob = synth.minimal_wav_bytes(duration_ms, sample_rate=rate)
+    meta = MC.wav_meta(blob)
+    # duration reconstructed from frames/rate — exact up to frame rounding
+    frames = (duration_ms * rate) // 1000
+    assert meta["sample_rate"] == rate and meta["n_frames"] == frames
+    assert abs(meta["duration_ms"] - duration_ms) <= max(1, 1000 // rate + 1)
+    samples = MC.decode_wav(blob)
+    assert samples.shape == (frames, 1)
