@@ -1,0 +1,62 @@
+"""spark-submit entry point for the training-data curation pipeline.
+
+Chains the LLM-data-pipeline operators (exact dedup → MinHash near-dup drop
+→ Gopher quality gate → deterministic hash sample → token stats) as ONE
+resumable, lineage-tracked job — see plans/datapipe.py for the stage/commit
+protocol (same GraphStore manifest resume semantics as jobs/kg_submit.py).
+
+Usage (cluster):
+    spark-submit --py-files kgrs.zip jobs/data_submit.py \
+        --input /data/documents --warehouse /warehouse/curation \
+        --dataset-id corpus_v1 --sample-fraction 0.5
+
+Usage (sandbox smoke):
+    python jobs/data_submit.py --input /root/testdata/sf0.001/documents.parquet \
+        --warehouse /tmp/dp_wh
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="parquet dir/file with (doc_id, text, …) documents")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--dataset-id", default="corpus")
+    ap.add_argument("--run-id", default="cur0")
+    ap.add_argument("--near-dup-max-dist", type=float, default=0.2)
+    ap.add_argument("--sample-fraction", type=float, default=1.0)
+    args = ap.parse_args()
+
+    from knowledge_graph_rag_spark.plans import datapipe
+    from knowledge_graph_rag_spark.session import get_spark
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    spark = get_spark(app_name=f"data_submit:{args.dataset_id}")
+    docs = spark.read.parquet(args.input)
+    store = GraphStore(spark, args.warehouse)
+    res = datapipe.curate(
+        spark, docs, store,
+        dataset_id=args.dataset_id, run_id=args.run_id,
+        near_dup_max_dist=args.near_dup_max_dist,
+        sample_fraction=args.sample_fraction,
+    )
+    print(json.dumps({
+        "run_id": res.run_id,
+        "stages_run": res.stages_run,
+        "stages_skipped": res.stages_skipped,
+        "counts": res.counts,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

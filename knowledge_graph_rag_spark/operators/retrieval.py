@@ -82,9 +82,15 @@ def update_entity_index(store, nodes: DataFrame, graph_id: str) -> int:
     re-materializing one graph on a 10k-graph warehouse touches one
     partition's index files and re-references the rest."""
     df = entity_token_index(nodes.filter(F.col("graph_id") == graph_id))
+    # drop_ids: an empty token frame (all labels non-tokenizable) writes no
+    # graph_id dir, and without the explicit drop the commit would carry the
+    # OLD index partition forward by manifest reference — a stale index that
+    # violates index == f(current nodes). Written data still wins when
+    # nonempty (drop_ids is ignored for partitions present in df).
     return store.upsert_graph_partitions(
         ENTITY_INDEX_TABLE, df,
         sort_within=("token",), sub_partition=("tok_prefix",),
+        drop_ids=(graph_id,),
     )
 
 
@@ -127,6 +133,11 @@ def entity_search_indexed(index: DataFrame, nodes: DataFrame, text: str,
         ).limit(0)
     if graph_id is not None:
         index = index.filter(F.col("graph_id") == graph_id)
+        # node_ids are graph-agnostic content hashes (entity_node_id(label,
+        # type)) — scope the NODES side too, or a multi-graph frame returns
+        # same-id nodes from every other graph after the semi-join
+        if "graph_id" in nodes.columns:
+            nodes = nodes.filter(F.col("graph_id") == graph_id)
     cand = None
     for t in needles:
         hit = (

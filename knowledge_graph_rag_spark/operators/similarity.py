@@ -157,15 +157,22 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str,
     return df.withColumn("cells", cells_of(F.col(vec_col)))
 
 
-def _resolve_n_clusters(n_clusters: int | None, vectors: DataFrame) -> int:
+def _resolve_n_clusters(n_clusters: int | None, vectors: DataFrame,
+                        approx_n: int | None = None) -> int:
     """``None`` → the IVF sizing rule k ≈ √n (cell size ≈ √n, so a probe
     costs n_probe·√n regardless of corpus growth — the right asymptote;
-    FAISS guidance is the same 4√n..16√n band)."""
+    FAISS guidance is the same 4√n..16√n band).
+
+    ``approx_n`` short-circuits the sizing ``count()``: at 10^12 rows that
+    count is a full scan before any work starts, and the √n rule only needs
+    order-of-magnitude accuracy — pass a known row count (table metadata,
+    a prior job's lineage metric, or parquet footer row counts) instead."""
     if n_clusters is not None:
         return n_clusters
     import math
 
-    return max(4, math.isqrt(max(1, vectors.count())))
+    n = approx_n if approx_n is not None else vectors.count()
+    return max(4, math.isqrt(max(1, n)))
 
 
 def _sample_for_fit(vectors: DataFrame, vec_col: str, sample_rows: int,
@@ -194,6 +201,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_fraction: float | None = None,
+    approx_n: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: vectors live in their single nearest cell; queries probe
     their ``n_probe`` nearest cells; exact cosine verify inside probed cells.
@@ -205,8 +213,10 @@ def ivf_topk(
     ≳ 40·n_clusters for a stable fit, and when the leading partitions aren't
     representative (or the corpus is huge), ``sample_fraction`` draws the fit
     sample per-partition across the whole corpus with driver memory still
-    bounded by sample_rows."""
-    n_clusters = _resolve_n_clusters(n_clusters, vectors)
+    bounded by sample_rows. ``approx_n`` supplies a known/approximate row
+    count so ``n_clusters=None`` needs no sizing full-scan (see
+    _resolve_n_clusters)."""
+    n_clusters = _resolve_n_clusters(n_clusters, vectors, approx_n)
     sample_rows_data = _sample_for_fit(
         vectors, vec_col, sample_rows, sample_fraction, seed
     )
@@ -253,6 +263,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_fraction: float | None = None,
+    approx_n: int | None = None,
 ) -> np.ndarray:
     """Persist an IVF index: vectors written as parquet PARTITIONED BY their
     nearest-centroid cell, centroids saved alongside. A probe then reads
@@ -263,11 +274,12 @@ def build_ivf_index(
     Sizing at scale: ``n_clusters=None`` applies the k ≈ √n rule;
     ``sample_fraction`` draws the centroid-fit sample per-partition across
     the whole corpus (driver memory stays bounded by sample_rows) — see
-    ivf_topk."""
+    ivf_topk; ``approx_n`` avoids the sizing full-scan when the row count is
+    already known."""
     import json
     import os
 
-    n_clusters = _resolve_n_clusters(n_clusters, vectors)
+    n_clusters = _resolve_n_clusters(n_clusters, vectors, approx_n)
     sample = _sample_for_fit(vectors, vec_col, sample_rows, sample_fraction, seed)
     if not sample:
         raise ValueError("cannot build an IVF index over an empty table")

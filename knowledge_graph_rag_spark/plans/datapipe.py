@@ -1,0 +1,142 @@
+"""Composed training-data curation pipeline — resumable, lineage-tracked.
+
+The LLM-data-pipeline operators (dedup / quality / sampling / token stats)
+exist individually; at 100 TB their COMPOSITION is itself engine work: what
+is materialized between stages, where the pipeline can resume after a crash,
+and which counts survive as lineage. This plan chains them the same way
+``pipeline.run`` chains KG construction — every stage commits a snapshot
+through GraphStore and records itself in the manifest, so a killed job
+resumes idempotently with zero recomputation of completed stages.
+
+    stage exact_dedup   md5 content-hash first-seen-wins (one shuffle)
+    stage near_dedup    MinHash-LSH candidate pairs → connected components
+                        → min-id representative per cluster (drop the rest)
+    stage quality       Gopher-rule gate (functions.text.gopher_quality_cols,
+                        oracle-pinned via the gopher_quality_flags entry)
+    stage sample        deterministic md5-bucket sampling — partition- and
+                        cluster-size-independent membership
+    stage token_stats   per-doc whitespace + BPE-style token counts, language
+                        ID — the training-mix accounting table
+    stage metrics       one lineage row per stage (rows in/out) appended to
+                        the ``dp_metrics`` table
+
+Scale shape: each stage's output is a parquet snapshot, so the longest
+lineage a failure can lose is ONE stage; every stage is a pure function of
+the previous snapshot. Counts are computed once per stage from the written
+snapshot (a metadata-cheap count on parquet footers), not by re-executing
+the transform.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import canonicalize as C
+from ..operators import dedup as DD
+from ..operators.sampling import hash_sample
+from ..sources.graph_store import GraphStore
+
+
+@dataclass
+class CurationResult:
+    run_id: str
+    stages_run: list[str] = field(default_factory=list)
+    stages_skipped: list[str] = field(default_factory=list)
+    counts: dict[str, int] = field(default_factory=dict)
+
+
+def _near_dup_drop_ids(docs: DataFrame, jaccard_max_dist: float) -> DataFrame:
+    """ids to DROP: MinHash-LSH candidate pairs → connected components →
+    everything except the min-id representative of each cluster. Bounded by
+    the candidate-pair graph, not the corpus (LSH banding prunes first)."""
+    pairs = DD.minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text",
+        jaccard_max_dist=jaccard_max_dist,
+    )
+    cc = C.connected_components(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    )
+    return cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    store: GraphStore,
+    dataset_id: str = "corpus",
+    run_id: str = "cur0",
+    near_dup_max_dist: float = 0.2,
+    sample_fraction: float = 1.0,
+) -> CurationResult:
+    """Run the curation chain over ``docs`` (doc_id, text, …). Stage outputs
+    land as ``dp_<dataset_id>_<stage>`` snapshots; re-running with the same
+    (warehouse, dataset_id) skips completed stages (S9 resume semantics)."""
+    res = CurationResult(run_id=run_id)
+    metrics_rows: list[tuple] = []
+
+    def tbl(stage: str) -> str:
+        return f"dp_{dataset_id}_{stage}"
+
+    def stage(name: str, compute) -> DataFrame:
+        if store.is_done(f"dp_{name}", dataset_id):
+            res.stages_skipped.append(name)
+        else:
+            store.write_snapshot(tbl(name), compute(), partition_by=())
+            store.mark_done(f"dp_{name}", dataset_id, run_id=run_id)
+            res.stages_run.append(name)
+        out = store.read(tbl(name))
+        n = out.count()
+        res.counts[name] = n
+        metrics_rows.append((run_id, name, n))
+        return out
+
+    exact = stage(
+        "exact_dedup", lambda: DD.dedup_exact(docs, "doc_id", "text")
+    )
+    near = stage(
+        "near_dedup",
+        lambda: exact.join(
+            _near_dup_drop_ids(exact, near_dup_max_dist), "doc_id", "left_anti"
+        ),
+    )
+
+    def compute_quality():
+        from ..functions.text import gopher_quality_cols
+
+        q = gopher_quality_cols(F.col("text"))
+        return near.withColumn("keep", q["keep"]).filter("keep").drop("keep")
+
+    quality = stage("quality", compute_quality)
+    sampled = stage(
+        "sample", lambda: hash_sample(quality, "doc_id", sample_fraction)
+    )
+
+    def compute_token_stats():
+        from ..functions.text import GOPHER_WS
+
+        ws_toks = F.filter(
+            F.split(F.col("text"), GOPHER_WS + "+"), lambda x: x != F.lit("")
+        )
+        # GPT-2-style pre-tokenizer count (same regex family as the
+        # bpe_token_counts driver entry — Java/RE2-identical)
+        bpe = r"'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+        return sampled.select(
+            "doc_id",
+            F.size(ws_toks).cast("long").alias("ws_tokens"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe), 0))
+            .cast("long").alias("bpe_tokens"),
+            F.length("text").cast("long").alias("chars"),
+        )
+
+    stage("token_stats", compute_token_stats)
+
+    metrics = spark.createDataFrame(
+        metrics_rows, "run_id string, stage string, rows_out long"
+    )
+    store.write_snapshot(tbl("metrics"), metrics, partition_by=())
+    return res

@@ -1407,37 +1407,19 @@ def repetition_ratio(spark, sf_dir):
 def gopher_quality_flags(spark, sf_dir):
     """Gopher-rule quality filtering (Rae et al. 2021, §A1.1 heuristics:
     word-count bounds, mean word length 2-12, symbol ratio cap) — the
-    standard pretraining-corpus gate, all native expressions."""
+    standard pretraining-corpus gate, all native expressions (shared with
+    the curation pipeline via functions.text.gopher_quality_cols; this
+    oracle pins the shared helper's semantics)."""
+    from ..functions.text import gopher_quality_cols
+
     docs = _t(spark, sf_dir, "documents")
-    # explicit whitespace class: Java \s matches \x0B, RE2's does not —
-    # the shared class keeps both engines identical on any corpus
-    ws = "[ \t\n\r\f]"
-    w = F.filter(F.split(F.col("text"), ws + "+"), lambda x: x != F.lit(""))
-    n_words = F.size(w)
-    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
-        F.round(
-            F.aggregate(w, F.lit(0).cast("long"),
-                        lambda acc, x: acc + F.length(x)).cast("double")
-            / n_words,
-            3,
-        )
-    )
-    n_chars = F.length("text")
-    n_sym = F.length(F.regexp_replace("text", "[A-Za-z0-9 \t\n\r\f]", ""))
-    sym_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
-        F.round(n_sym.cast("double") / n_chars, 3)
-    )
-    out = docs.select(
+    q_ = gopher_quality_cols(F.col("text"))
+    return docs.select(
         "doc_id",
-        n_words.cast("long").alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        sym_ratio.alias("symbol_ratio"),
-    )
-    return out.withColumn(
-        "keep",
-        (F.col("n_words") >= 5) & (F.col("n_words") <= 100000)
-        & (F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12)
-        & (F.col("symbol_ratio") <= 0.1),
+        q_["n_words"].alias("n_words"),
+        q_["mean_word_len"].alias("mean_word_len"),
+        q_["symbol_ratio"].alias("symbol_ratio"),
+        q_["keep"].alias("keep"),
     )
 
 

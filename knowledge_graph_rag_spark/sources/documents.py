@@ -334,12 +334,16 @@ def read_url_documents(
     fetched = manifest.mapInPandas(
         run, schema="url string, html string, decode_status string"
     )
+    # project the regexp chain ONCE, then derive n_chars from the alias —
+    # Catalyst does not reliably CSE a 9-deep regexp_replace chain, so
+    # inlining html_to_text twice would run every regex twice per row
     return fetched.select(
         F.col("url").alias("doc_id"),
         F.lit("url").alias("source_format"),
         html_to_text(F.col("html")).alias("text"),
-        F.length(html_to_text(F.col("html"))).cast("long").alias("n_chars"),
         "decode_status",
+    ).withColumn("n_chars", F.length("text").cast("long")).select(
+        "doc_id", "source_format", "text", "n_chars", "decode_status"
     )
 
 

@@ -207,14 +207,19 @@ class GraphStore:
         self, table: str, df: DataFrame, *,
         sort_within: tuple[str, ...] = (),
         sub_partition: tuple[str, ...] = (),
+        drop_ids: tuple[str, ...] = (),
     ) -> int:
         """Partition-scoped commit for DERIVED graph_id-partitioned tables
         (e.g. the entity token index): rewrites only df's graph_id
         partitions, carrying every other graph by manifest reference — the
-        same incremental protocol nodes/edges use via store_graph."""
+        same incremental protocol nodes/edges use via store_graph.
+        ``drop_ids`` partitions are dropped from the manifest unless df also
+        writes them (written data wins) — pass the target graph_id when an
+        empty rebuild must not leave a stale partition referenced."""
         snap, _ = self._commit_partitions(
             table, df, replace_table=False,
             sort_within=sort_within, sub_partition=sub_partition,
+            drop_ids=drop_ids,
         )
         return snap
 

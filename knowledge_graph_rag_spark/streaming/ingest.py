@@ -54,6 +54,13 @@ def stream_to_graph_sink(
         nodes = telemetry_nodes(batch_df, graph_id)
         edges = telemetry_edges(batch_df, graph_id)
         store.store_graph_merge(nodes, edges, graph_id)
+        # keep the invariant entity_index == f(current nodes partition):
+        # every other node-commit path (run/run_incremental/delete_graph)
+        # maintains the index, so this sink must too or indexed search
+        # silently misses stream-fed graphs
+        from ..operators.retrieval import refresh_entity_index
+
+        refresh_entity_index(store, graph_id)
         store.mark_done("stream_batch", f"{graph_id}:{batch_id}")
 
     writer = (

@@ -91,6 +91,78 @@ def test_ngram_jaccard_df_cap(spark):
     assert DD.ngram_jaccard_pairs(df, threshold=0.01, max_df=100).count() == 45
 
 
+def test_ngram_jaccard_hot_broadcast_guard(spark):
+    """The hot-shingle anti-join carries NO broadcast hint — AQE broadcasts
+    the hot side when its runtime size is small and falls back to a
+    scale-safe shuffle anti-join otherwise. Both physical shapes must give
+    identical pairs (forced via autoBroadcastJoinThreshold), and the plan
+    must not force a broadcast (no hint survives into the logical plan)."""
+    common = "alpha beta gamma"
+    rows = [
+        (i, f"{common} unique{i} tail{i} end{i} shared{i % 3} more{i % 3} x{i % 3}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    kw = dict(threshold=0.01, max_df=5)
+    bc = sorted(map(tuple, DD.ngram_jaccard_pairs(df, **kw).collect()))
+    assert len(bc) > 0
+    old = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    try:
+        for k in old:
+            spark.conf.set(k, "-1")   # force the shuffle anti-join shape
+        sh = sorted(map(tuple, DD.ngram_jaccard_pairs(df, **kw).collect()))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert bc == sh
+    import inspect
+
+    assert "F.broadcast(hot" not in inspect.getsource(DD.ngram_jaccard_pairs)
+
+
+def test_simhash_vectorized_bit_identical():
+    """_fnv1a_batch and the SWAR vote path must be bit-identical to the
+    scalar per-byte FNV-1a reference (the simhash constants are pinned by
+    the planted-pair tests — this guards the vectorization itself)."""
+    import numpy as np
+    import pandas as pd
+
+    def fnv1a(tok):
+        h = 0xCBF29CE484222325
+        for ch in tok.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    toks = ["hello", "a", "", "café", "x" * 40, "the", "😀emoji", "token123"]
+    assert list(DD._fnv1a_batch(toks)) == [fnv1a(t) for t in toks]
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def sim_scalar(text):
+        toks = text.lower().split() if text else []
+        if not toks:
+            return 0
+        hs = np.fromiter((fnv1a(t) for t in toks), dtype=np.uint64, count=len(toks))
+        bits = (hs[:, None] >> shifts) & np.uint64(1)
+        votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+        out = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(words, n)) for n in (1, 3, 120, 300, 700)]
+    texts += [None, "", "   ", "single"]  # incl. a >255-token doc (lane split)
+    got = list(DD.simhash64.func(pd.Series(texts)))
+    assert got == [sim_scalar(t) for t in texts]
+
+
 def test_brute_force_topk(spark, corpus):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3)

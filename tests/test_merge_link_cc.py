@@ -184,3 +184,31 @@ def test_pagerank_vs_numpy_oracle(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     # hub c (most in-links) outranks the chain tail e
     assert got["c"] > got["e"]
+
+
+def test_pagerank_leaves_no_pinned_storage(spark):
+    """Library hygiene: pagerank must not leave frames pinned in managed
+    memory after the caller drops the result (localCheckpoint blocks are
+    reclaimed by the ContextCleaner once unreferenced; .cache() would stay
+    pinned forever). Persistent-RDD count must return to its pre-call
+    baseline after GC."""
+    import gc
+    import time
+
+    from knowledge_graph_rag_spark.operators.graphalgs import pagerank
+
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "src string, dst string"
+    )
+    res = pagerank(edges, max_iter=6)
+    res.collect()
+    del res
+    for _ in range(40):  # ContextCleaner runs async — poll, bounded
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if jsc.getPersistentRDDs().size() <= baseline:
+            break
+        time.sleep(0.5)
+    assert jsc.getPersistentRDDs().size() <= baseline

@@ -162,6 +162,51 @@ def test_entity_index_incremental_update(kg, spark, tmp_path):
         F.col("graph_id") == "g2").count() == 0
 
 
+def test_entity_search_indexed_scopes_nodes_side(spark, tmp_path):
+    """node_ids are graph-agnostic content hashes, so the same entity in two
+    graphs shares a node_id — a graph-scoped search must filter the NODES
+    side too, or the semi-join returns the other graph's twin row."""
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    schema = ("graph_id string, node_id string, label string, type string, "
+              "entity_class string")
+    nodes = spark.createDataFrame(
+        [("gA", "h1", "Orion Probe", "product", "thing"),
+         ("gB", "h1", "Orion Probe", "product", "thing"),
+         ("gB", "h2", "Orion Relay", "product", "thing")],
+        schema,
+    )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    R.update_entity_index(store, nodes, "gA")
+    R.update_entity_index(store, nodes, "gB")
+    index = store.read(R.ENTITY_INDEX_TABLE)
+    scoped = R.entity_search_indexed(index, nodes, "orion", 10, graph_id="gA")
+    assert [r.node_id for r in scoped.collect()] == ["h1"]
+    unscoped = R.entity_search_indexed(index, nodes, "orion", 10)
+    assert {r.node_id for r in unscoped.collect()} == {"h1", "h2"}
+
+
+def test_empty_index_rebuild_drops_stale_partition(spark, tmp_path):
+    """A rebuild whose token frame is empty (all labels non-tokenizable)
+    must DROP the graph's old index partition, not silently carry it by
+    manifest reference — the invariant is index == f(current nodes)."""
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    schema = ("graph_id string, node_id string, label string, type string, "
+              "entity_class string")
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    v1 = spark.createDataFrame(
+        [("g1", "n1", "Acme Widget", "product", "thing")], schema)
+    R.update_entity_index(store, v1, "g1")
+    assert store.read(R.ENTITY_INDEX_TABLE).filter(
+        F.col("graph_id") == "g1").count() > 0
+    # re-run with only non-tokenizable labels → empty token frame
+    v2 = spark.createDataFrame([("g1", "n1", "###", "product", "thing")], schema)
+    R.update_entity_index(store, v2, "g1")
+    assert store.read(R.ENTITY_INDEX_TABLE).filter(
+        F.col("graph_id") == "g1").count() == 0
+
+
 def test_incremental_update_keeps_index_consistent(spark, tmp_path):
     """run_incremental refreshes the fulltext index: after a fold-in, the
     index partition equals entity_token_index(current nodes partition)."""
@@ -240,6 +285,78 @@ def test_kg_submit_job(tmp_path):
 
     out2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo",
                           timeout=420)
+    res2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert not res2["stages_run"]  # fully resumed
+    assert res2["counts"] == res1["counts"]
+
+
+def test_curation_pipeline_and_resume(spark, tmp_path):
+    """Composed training-data curation (plans/datapipe.curate): planted docs
+    exercise every stage's drop rule; a second run resumes fully with the
+    same counts; the metrics table carries one lineage row per stage."""
+    from knowledge_graph_rag_spark.plans import datapipe
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "patient crane waits beside the shallow river bend")
+    rows = [
+        ("d01", good),
+        ("d02", good.replace("crane", "heron")),        # distinct enough to keep
+        ("d03", "a completely different account of spark shuffle mechanics "
+                "written with plain words and steady rhythm for testing"),
+        ("d04", "yet another unique document describing parquet row groups "
+                "and predicate pushdown in calm readable prose"),
+        ("d05", "the final unique document talks about broadcast joins and "
+                "adaptive query execution at some length here"),
+        ("d06", good),                                   # exact dup of d01
+        ("d07", good.replace("dog", "hound")),           # near dup of d01
+        ("d08", "@#$% ^&*! ~~~ ++== ;;;; @#$% ^&*!"),    # symbol soup: quality drop
+        ("d09", "too short"),                            # n_words < 5: quality drop
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    res = datapipe.curate(spark, docs, store, dataset_id="t", run_id="r1",
+                          near_dup_max_dist=0.5)
+    assert res.stages_run == [
+        "exact_dedup", "near_dedup", "quality", "sample", "token_stats"
+    ]
+    assert res.counts["exact_dedup"] == 8          # d06 dropped
+    assert res.counts["near_dedup"] < 8            # d07 folded into d01
+    kept = {r.doc_id for r in store.read("dp_t_quality").collect()}
+    assert "d08" not in kept and "d09" not in kept
+    assert {"d01", "d03", "d04", "d05"} <= kept
+    assert res.counts["sample"] == res.counts["quality"]  # fraction 1.0
+    stats = {r.doc_id: r for r in store.read("dp_t_token_stats").collect()}
+    assert set(stats) == kept
+    assert all(s.ws_tokens > 0 and s.bpe_tokens >= s.ws_tokens for s in stats.values())
+
+    res2 = datapipe.curate(spark, docs, store, dataset_id="t", run_id="r2",
+                           near_dup_max_dist=0.5)
+    assert not res2.stages_run and res2.counts == res.counts
+    metrics = store.read("dp_t_metrics").collect()
+    assert {(m.stage, m.rows_out) for m in metrics} == set(
+        (k, v) for k, v in res.counts.items()
+    )
+
+
+def test_data_submit_cli(tmp_path):
+    """Drive jobs/data_submit.py as a real CLI against the sf0.001 documents
+    table, twice (resume)."""
+    wh = str(tmp_path / "wh")
+    cmd = [sys.executable, "jobs/data_submit.py",
+           "--input", "/root/testdata/sf0.001/documents.parquet",
+           "--warehouse", wh, "--dataset-id", "sf0", "--sample-fraction", "0.5"]
+    out1 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo",
+                          timeout=420)
+    assert out1.returncode == 0, out1.stderr[-800:]
+    res1 = json.loads(out1.stdout.strip().splitlines()[-1])
+    assert res1["counts"]["exact_dedup"] > 0
+    assert res1["counts"]["sample"] <= res1["counts"]["quality"]
+    assert res1["counts"]["token_stats"] == res1["counts"]["sample"]
+
+    out2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo",
+                          timeout=420)
+    assert out2.returncode == 0, out2.stderr[-800:]
     res2 = json.loads(out2.stdout.strip().splitlines()[-1])
     assert not res2["stages_run"]  # fully resumed
     assert res2["counts"] == res1["counts"]

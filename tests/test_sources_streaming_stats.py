@@ -244,6 +244,20 @@ def test_streaming_ingest(spark, tmp_path):
     assert edges.filter(F.col("rel_type") == "CONNECTED_TO").count() == 2
     assert any(k.startswith("stream_batch::g_stream") for k in store.completed_stages())
 
+    # the sink maintains the entity-index invariant like every other
+    # node-commit path: index partition == entity_token_index(current nodes)
+    from knowledge_graph_rag_spark.operators import retrieval as R
+
+    expected = {tuple(r) for r in R.entity_token_index(nodes).collect()}
+    actual = {
+        tuple(r)
+        for r in store.read(R.ENTITY_INDEX_TABLE)
+        .filter(F.col("graph_id") == "g_stream")
+        .select("graph_id", "node_id", "token", "tok_prefix")
+        .collect()
+    }
+    assert actual == expected and actual
+
 
 def test_stream_documents_to_kg_matches_batch(spark, tmp_path):
     """North-star streaming: interleaved docs dropped as parquet files fold
