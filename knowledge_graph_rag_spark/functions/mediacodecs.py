@@ -10,8 +10,12 @@ beyond the standard library + numpy:
 - BMP   — uncompressed 24/32-bit BI_RGB struct parse (bottom-up + padding)
 - PPM   — P6 binary RGB (maxval ≤ 255)
 - WAV   — stdlib ``wave``: PCM frames, channels, rate, duration
+- JPEG  — baseline sequential DCT (SOF0, Huffman): full pixel decode for
+          grayscale / YCbCr 4:4:4 / 4:2:2 / 4:2:0 with restart intervals,
+          plus a fixture encoder (Annex K tables); progressive (SOF2) and
+          arithmetic-coded stay metadata-only / stubbed
 
-Everything else (JPEG/MP3/MP4-class codecs) stays honestly stubbed in
+Everything else (MP3/MP4-class codecs) stays honestly stubbed in
 operators/multimodal.py. These decoders run inside Arrow-batched mapInPandas
 with per-row poison-pill isolation; the per-byte python unfilter loop is
 fixture/thumbnail-scale — a production image path swaps in a turbo codec at
@@ -39,6 +43,8 @@ def sniff(content: bytes) -> str | None:
         return "ppm"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
+    if content[:2] == b"\xFF\xD8":
+        return "jpeg"
     return None
 
 
@@ -249,11 +255,18 @@ def probe(content: bytes) -> dict | None:
     if fmt == "wav":
         m = wav_meta(content)
         return {"format": "wav", "duration_ms": m["duration_ms"]} if m else None
+    if fmt == "jpeg":
+        m = jpeg_meta(content)
+        # progressive JPEGs have true dims in SOF2 but no pixel decode here —
+        # report metadata only when the baseline decoder can actually decode
+        if m and not m["progressive"]:
+            return {"format": "jpeg", "width": m["width"], "height": m["height"]}
+        return None
     return None
 
 
 def decode_image_array(content: bytes) -> np.ndarray | None:
-    """(H, W, C) uint8 for PNG/BMP/PPM; None for anything else."""
+    """(H, W, C) uint8 for PNG/BMP/PPM/baseline-JPEG; None otherwise."""
     fmt = sniff(content)
     if fmt == "png":
         return decode_png(content)
@@ -261,6 +274,11 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
         return decode_bmp(content)
     if fmt == "ppm":
         return decode_ppm(content)
+    if fmt == "jpeg":
+        img = decode_jpeg(content)
+        if img is not None and img.ndim == 2:
+            img = img[:, :, None]
+        return img
     return None
 
 
@@ -270,3 +288,526 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * img.shape[0]) // height
     xs = (np.arange(width) * img.shape[1]) // width
     return img[ys][:, xs]
+
+
+# --- JPEG (baseline sequential DCT, Huffman) ---------------------------------
+# Pure stdlib+numpy baseline-JPEG codec (ITU-T T.81 / Annex K tables, public
+# spec). Decoder handles the common class: SOF0, 8-bit, Huffman, grayscale /
+# YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals. Progressive
+# (SOF2), arithmetic coding, and 12-bit stay honestly undecoded (None →
+# callers keep the ok_stub path). The encoder exists for byte-stable
+# fixtures (synth.minimal_jpeg_bytes): 4:4:4, Annex K quant + Huffman
+# tables, IJG quality scaling.
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_QT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+_HUFF_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+_HUFF_DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  list(range(12)))
+_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_HUFF_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    m = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _build_huff_decode(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman: {(length, code): symbol}."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _build_huff_encode(bits: list[int], vals: list[int]) -> dict:
+    return {sym: (ln, code) for (ln, code), sym in
+            _build_huff_decode(bits, vals).items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.buf, self.nbits = 0, 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                return False  # restart marker: caller resyncs
+            else:
+                return False  # EOI or other marker
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise EOFError
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Skip to just after the next RSTn marker, reset bit state."""
+        d = self.data
+        self.buf, self.nbits = 0, 0
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise EOFError
+
+
+def _huff_decode(r: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def jpeg_meta(content: bytes) -> dict | None:
+    """(width, height, n_components, progressive) from the first SOF."""
+    if content[:2] != b"\xFF\xD8":
+        return None
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            return None
+        marker = content[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", content[pos + 2:pos + 4])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w, nc = struct.unpack(">HHB", content[pos + 5:pos + 10])
+            return {"width": w, "height": h, "n_components": nc,
+                    "progressive": marker == 0xC2}
+        if marker == 0xD9:
+            return None
+        pos += 2 + seglen
+    return None
+
+
+def decode_jpeg(content: bytes) -> np.ndarray | None:  # noqa: C901
+    """Baseline-JPEG pixel decode → (H, W) or (H, W, 3) uint8, or None
+    outside the supported class (progressive/arithmetic/12-bit/>3 comps)."""
+    if content[:2] != b"\xFF\xD8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → table
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    pos = 2
+    try:
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                return None
+            marker = content[pos + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                return None  # EOI before SOS
+            (seglen,) = struct.unpack(">H", content[pos + 2:pos + 4])
+            seg = content[pos + 4:pos + 2 + seglen]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0xF
+                    if pq != 0:
+                        return None  # 16-bit tables unsupported
+                    tbl = np.zeros(64, dtype=np.int64)
+                    tbl[_ZIGZAG] = np.frombuffer(
+                        seg[i + 1:i + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    qt[tq] = tbl.reshape(8, 8)
+                    i += 65
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0xF
+                    bits = list(seg[i + 1:i + 17])
+                    n = sum(bits)
+                    vals = list(seg[i + 17:i + 17 + n])
+                    huff[(tc, th)] = _build_huff_decode(bits, vals)
+                    i += 17 + n
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+                prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+                if prec != 8 or nc not in (1, 3):
+                    return None
+                comps = []
+                for ci in range(nc):
+                    cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                                  "tq": tq})
+            elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return None  # progressive / other SOF classes
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                for si in range(ns):
+                    cs, tbl = seg[1 + 2 * si], seg[2 + 2 * si]
+                    for c in comps:
+                        if c["id"] == cs:
+                            c["dc"], c["ac"] = tbl >> 4, tbl & 0xF
+                pos = pos + 2 + seglen
+                break
+            pos += 2 + seglen
+        else:
+            return None
+        if not comps or w == 0 or h == 0:
+            return None
+
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        planes = [
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+            for c in comps
+        ]
+        r = _BitReader(content, pos)
+        pred = [0] * len(comps)
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    r.sync_restart()
+                    pred = [0] * len(comps)
+                mcu_count += 1
+                for ci, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = np.zeros(64, dtype=np.int64)
+                            t = _huff_decode(r, huff[(0, c["dc"])])
+                            diff = _extend(r.receive(t), t) if t else 0
+                            pred[ci] += diff
+                            zz[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(r, huff[(1, c["ac"])])
+                                rr, ss = rs >> 4, rs & 0xF
+                                if ss == 0:
+                                    if rr == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += rr
+                                if k > 63:
+                                    return None
+                                zz[k] = _extend(r.receive(ss), ss)
+                                k += 1
+                            blk = np.zeros(64, dtype=np.int64)
+                            blk[_ZIGZAG] = zz
+                            f = blk.reshape(8, 8) * qt[c["tq"]]
+                            pix = _DCT_M.T @ f @ _DCT_M + 128.0
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+    except (EOFError, ValueError, KeyError, struct.error, IndexError):
+        return None
+
+    full = []
+    for c, p in zip(comps, planes):
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0].round(), 0, 255).astype(np.uint8)
+    y, cb, cr = full
+    rr = y + 1.402 * (cr - 128.0)
+    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bb = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([rr, gg, bb], axis=-1).round(), 0, 255).astype(
+        np.uint8
+    )
+
+
+# --- JPEG encoder (fixtures) -------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.nbits = 0, 0
+
+    def write(self, length: int, code: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write(pad, (1 << pad) - 1)  # pad with 1-bits
+
+
+def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + value bits for a signed coefficient."""
+    t = int(abs(v)).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def _encode_block(bw: _BitWriter, blk: np.ndarray, qt_: np.ndarray,
+                  pred: int, dc_tab: dict, ac_tab: dict) -> int:
+    """FDCT + quantize + Huffman-encode one 8×8 block; returns the new DC
+    predictor."""
+    f = _DCT_M @ (blk - 128.0) @ _DCT_M.T
+    qv = np.round(f / qt_.reshape(8, 8)).astype(np.int64)
+    zz = qv.reshape(64)[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    t, bits = _mag_bits(diff)
+    ln, code = dc_tab[t]
+    bw.write(ln, code)
+    if t:
+        bw.write(t, bits)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_tab[0xF0]  # ZRL
+            bw.write(ln, code)
+            run -= 16
+        t, bits = _mag_bits(v)
+        ln, code = ac_tab[(run << 4) | t]
+        bw.write(ln, code)
+        bw.write(t, bits)
+        run = 0
+    if last_nz < 63:
+        ln, code = ac_tab[0x00]  # EOB
+        bw.write(ln, code)
+    return int(zz[0])
+
+
+#: sampling layouts: name → (luma_h, luma_v) with chroma fixed at 1×1
+_SUBSAMPLE = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: str = "444",
+                restart_interval: int = 0) -> bytes:  # noqa: C901
+    """Baseline JPEG bytes for (H, W) grayscale or (H, W, 3) RGB uint8 —
+    Annex K tables, deterministic (fixture generator). ``subsample``
+    ∈ {'444','422','420'} picks the chroma layout (box-filter downsample);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs — both
+    exist chiefly to exercise the decoder's MCU-interleave/upsample/restart
+    paths with honest test vectors."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    hs, vs = (1, 1) if gray else _SUBSAMPLE[subsample]
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+            -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0,
+            0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0,
+        ]
+    qts = [_scale_qt(_QT_LUM, quality)]
+    if not gray:
+        qts.append(_scale_qt(_QT_CHROM, quality))
+    enc_dc = [_build_huff_encode(*_HUFF_DC_LUM)]
+    enc_ac = [_build_huff_encode(*_HUFF_AC_LUM)]
+    if not gray:
+        enc_dc.append(_build_huff_encode(*_HUFF_DC_CHROM))
+        enc_ac.append(_build_huff_encode(*_HUFF_AC_CHROM))
+
+    # per-component geometry: luma at (hs, vs), chroma at (1, 1)
+    comps = [{"h": hs, "v": vs, "ti": 0}]
+    if not gray:
+        comps += [{"h": 1, "v": 1, "ti": 1}, {"h": 1, "v": 1, "ti": 1}]
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    mcux, mcuy = -(-w // mcu_w), -(-h // mcu_h)
+
+    def _pad(p: np.ndarray, th: int, tw: int) -> np.ndarray:
+        pp = np.empty((th, tw))
+        ph_, pw_ = p.shape
+        pp[:ph_, :pw_] = p
+        pp[ph_:, :pw_] = p[ph_ - 1:ph_, :]
+        pp[:, pw_:] = pp[:, pw_ - 1:pw_]
+        return pp
+
+    padded = [_pad(planes[0], mcuy * mcu_h, mcux * mcu_w)]
+    for p in planes[1:]:
+        # box-filter chroma downsample to the component's grid, then pad
+        full = _pad(p, mcuy * mcu_h, mcux * mcu_w)
+        sub = full.reshape(
+            full.shape[0] // vs, vs, full.shape[1] // hs, hs
+        ).mean(axis=(1, 3))
+        padded.append(sub)
+
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                p = padded[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        pred[ci] = _encode_block(
+                            bw, p[y0:y0 + 8, x0:x0 + 8],
+                            qts[min(c["ti"], len(qts) - 1)], pred[ci],
+                            enc_dc[c["ti"]], enc_ac[c["ti"]],
+                        )
+    bw.flush()
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HHBB", 1, 1, 0, 0)
+    for tq, qt_ in enumerate(qts):
+        zz = qt_.reshape(64)[_ZIGZAG].astype(np.uint8)
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tq) + zz.tobytes()
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    nc = len(comps)
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci, c in enumerate(comps):
+        out += struct.pack(">BBB", ci + 1, (c["h"] << 4) | c["v"],
+                           min(c["ti"], len(qts) - 1))
+    specs = [(0x00, _HUFF_DC_LUM), (0x10, _HUFF_AC_LUM)]
+    if not gray:
+        specs += [(0x01, _HUFF_DC_CHROM), (0x11, _HUFF_AC_CHROM)]
+    for tid, (bits, vals) in specs:
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals), tid)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += struct.pack(">BB", ci + 1, 0x00 if ci == 0 else 0x11)
+    out += b"\x00\x3F\x00"
+    out += bw.out
+    out += b"\xFF\xD9"
+    return bytes(out)

@@ -4,9 +4,11 @@ The interleaved documents carry media spans (kind ∈ {image, audio, table},
 media_ref URI). Codec *libraries* are not in this container, but the decode
 step is real wherever the standard library + numpy suffice
 (functions/mediacodecs.py): PNG (full 8-bit pixel decode incl. scanline
-unfiltering), BMP, PPM, and PCM WAV are sniffed and decoded with status
-``ok``; only JPEG/MP3/MP4-class codecs remain stubbed behind a deterministic
-fake (status ``ok_stub``), with the Spark-side plumbing (schema,
+unfiltering), BMP, PPM, PCM WAV, and baseline JPEG (Huffman + dequant +
+IDCT, 4:4:4/4:2:2/4:2:0) are sniffed and decoded with status ``ok``; only
+MP3/MP4-class codecs (and exotic JPEG: progressive/arithmetic) remain
+stubbed behind a deterministic fake (status ``ok_stub``), with the
+Spark-side plumbing (schema,
 partitioning, Arrow batch shape, mapInPandas signature) identical on both
 paths:
 
@@ -82,10 +84,10 @@ def decode_media(catalog: DataFrame, fetcher=None) -> DataFrame:
 
     ``fetcher(media_ref, kind) -> bytes`` is injectable (production: ranged
     object-store GET); the default synthesizes deterministic offline bytes.
-    Fetched content is SNIFFED: PNG/BMP/PPM/WAV decode for real via
-    functions/mediacodecs (status ``ok``, true width/height/duration);
-    formats needing codec libs keep deterministic stub metadata (status
-    ``ok_stub``). Every row raises into ``decode_status`` rather than failing
+    Fetched content is SNIFFED: PNG/BMP/PPM/WAV/baseline-JPEG decode for
+    real via functions/mediacodecs (status ``ok``, true width/height/
+    duration); formats needing codec libs (MP3/MP4-class, progressive JPEG)
+    keep deterministic stub metadata (status ``ok_stub``). Every row raises into ``decode_status`` rather than failing
     the task, so one corrupt object never kills a 10^12-row job (poison-pill
     isolation)."""
     from ..functions import mediacodecs as MC

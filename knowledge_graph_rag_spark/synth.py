@@ -259,6 +259,25 @@ def minimal_ppm_bytes(width: int, height: int, rgb: tuple[int, int, int]) -> byt
             + bytes(rgb) * (width * height))
 
 
+def minimal_jpeg_bytes(width: int, height: int,
+                       rgb: tuple[int, int, int] | None = None) -> bytes:
+    """Deterministic baseline JPEG (4:4:4, Annex K tables) via the stdlib
+    encoder in functions/mediacodecs. Solid color when ``rgb`` given, else a
+    deterministic gradient; byte-stable (no clock, no randomness)."""
+    import numpy as _np
+
+    from .functions.mediacodecs import encode_jpeg
+
+    if rgb is not None:
+        img = _np.tile(
+            _np.array(rgb, dtype=_np.uint8), (height, width, 1)
+        )
+    else:
+        g = (_np.add.outer(_np.arange(height), _np.arange(width)) % 256)
+        img = _np.stack([g, 255 - g, (g * 3) % 256], axis=-1).astype(_np.uint8)
+    return encode_jpeg(img, quality=90)
+
+
 def minimal_wav_bytes(duration_ms: int, sample_rate: int = 8000,
                       freq_step: int = 7) -> bytes:
     """Deterministic 16-bit mono PCM WAV (sawtooth of the frame index)."""

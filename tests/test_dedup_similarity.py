@@ -329,6 +329,42 @@ def test_media_real_stdlib_decode(spark):
     decoded.unpersist()
 
 
+def test_media_jpeg_decode(spark):
+    """Baseline JPEG (stdlib+numpy Huffman/IDCT) flows through decode_media
+    with status ok and TRUE dims; progressive JPEG honestly falls back to
+    ok_stub; resize works on the decoded pixels."""
+    import numpy as np
+
+    from knowledge_graph_rag_spark import synth
+    from knowledge_graph_rag_spark.functions import mediacodecs as MC
+    from knowledge_graph_rag_spark.operators.extract import explode_spans
+
+    spans = explode_spans(synth.documents_df(spark, 40))
+    catalog = MM.media_catalog(spans).filter(F.col("kind") == "image")
+
+    baseline = synth.minimal_jpeg_bytes(21, 13, (40, 80, 120))
+    progressive = bytearray(baseline)
+    i = progressive.find(b"\xFF\xC0")
+    progressive[i + 1] = 0xC2
+
+    def fetch(ref: str, kind: str) -> bytes:
+        return bytes(progressive) if sum(ref.encode()) % 3 == 0 else baseline
+
+    decoded = MM.decode_media(catalog, fetcher=fetch).cache()
+    ok = decoded.filter(F.col("decode_status") == "ok").collect()
+    stub = decoded.filter(F.col("decode_status") == "ok_stub").collect()
+    assert ok and all(r.width == 21 and r.height == 13 for r in ok)
+    assert stub  # progressive class keeps the honest stub path
+    resized = MM.resize_images(
+        decoded.filter(F.col("decode_status") == "ok"), width=7, height=5
+    ).collect()
+    assert resized and all(r.decode_status == "ok" for r in resized)
+    for r in resized:
+        arr = np.frombuffer(bytes(r.resized_bytes), dtype=np.uint8).reshape(5, 7, 3)
+        assert np.abs(arr.astype(int) - [40, 80, 120]).max() <= 4
+    decoded.unpersist()
+
+
 def test_salted_collect_set_equivalence(spark):
     df = spark.createDataFrame(
         [(i % 3, i % 7) for i in range(500)], "k int, v int"

@@ -187,3 +187,50 @@ def test_wav_builder_roundtrip(duration_ms, rate):
     assert abs(meta["duration_ms"] - duration_ms) <= max(1, 1000 // rate + 1)
     samples = MC.decode_wav(blob)
     assert samples.shape == (frames, 1)
+
+
+@given(
+    st.integers(1, 40), st.integers(1, 40),
+    st.sampled_from(["444", "422", "420"]),
+    st.integers(0, 4),
+    st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_roundtrip_property(w, h, subsample, restart, gray):
+    """Baseline-JPEG encode→decode inverts shape exactly and pixels within
+    DCT-quantization tolerance, across sampling layouts, restart intervals,
+    grayscale/RGB, and non-multiple-of-MCU dims."""
+    import numpy as np
+
+    from knowledge_graph_rag_spark.functions import mediacodecs as MC
+
+    g = (np.add.outer(np.arange(h), np.arange(w)) * 5 % 256).astype(np.uint8)
+    img = g if gray else np.stack([g, 255 - g, (g * 2) % 256], axis=-1)
+    blob = MC.encode_jpeg(img, quality=92, subsample="444" if gray else subsample,
+                          restart_interval=restart)
+    meta = MC.jpeg_meta(blob)
+    assert meta["width"] == w and meta["height"] == h
+    assert not meta["progressive"]
+    dec = MC.decode_jpeg(blob)
+    assert dec is not None and dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # the % 256 wrap makes hard edges → DCT ringing; bound loosely for the
+    # 4:4:4 path, looser again when chroma is box-filtered + upsampled
+    tol = 48 if subsample == "444" or gray else 200
+    assert err.max() <= tol and err.mean() <= (8 if gray else 48)
+
+
+@given(st.integers(1, 60), st.integers(1, 60))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_decoder_rejects_outside_class(w, h):
+    """Progressive-marked and truncated JPEGs must return None (ok_stub
+    path), never crash; jpeg_meta still reports dims for progressive."""
+    from knowledge_graph_rag_spark.functions import mediacodecs as MC
+
+    blob = bytearray(synth.minimal_jpeg_bytes(w, h))
+    i = blob.find(b"\xFF\xC0")
+    blob[i + 1] = 0xC2  # mark progressive
+    assert MC.decode_jpeg(bytes(blob)) is None
+    meta = MC.jpeg_meta(bytes(blob))
+    assert meta["progressive"] and meta["width"] == w
+    assert MC.decode_jpeg(bytes(blob[: max(4, len(blob) // 3)])) is None
