@@ -197,18 +197,25 @@ def test_pagerank_leaves_no_pinned_storage(spark):
 
     from knowledge_graph_rag_spark.operators.graphalgs import pagerank
 
-    jsc = spark.sparkContext._jsc.sc()
-    baseline = jsc.getPersistentRDDs().size()
+    def pinned_ids() -> set:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = pinned_ids()
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "src string, dst string"
     )
     res = pagerank(edges, max_iter=6)
     res.collect()
+    created = pinned_ids() - before
+    assert created  # sanity: localCheckpoint did pin while referenced
     del res
-    for _ in range(40):  # ContextCleaner runs async — poll, bounded
+    # only the RDDs pagerank itself created must drain — other tests'
+    # long-lived caches in the shared session are not this test's business
+    for _ in range(60):  # ContextCleaner runs async — poll, bounded
         gc.collect()
         spark.sparkContext._jvm.System.gc()
-        if jsc.getPersistentRDDs().size() <= baseline:
+        if not (pinned_ids() & created):
             break
         time.sleep(0.5)
-    assert jsc.getPersistentRDDs().size() <= baseline
+    assert not (pinned_ids() & created)
