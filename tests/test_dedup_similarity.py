@@ -91,40 +91,41 @@ def test_ngram_jaccard_df_cap(spark):
     assert DD.ngram_jaccard_pairs(df, threshold=0.01, max_df=100).count() == 45
 
 
-def test_ngram_jaccard_hot_broadcast_guard(spark):
-    """The hot-shingle anti-join carries NO broadcast hint — AQE broadcasts
-    the hot side when its runtime size is small and falls back to a
-    scale-safe shuffle anti-join otherwise. Both physical shapes must give
-    identical pairs (forced via autoBroadcastJoinThreshold), and the plan
-    must not force a broadcast (no hint survives into the logical plan)."""
+def test_ngram_jaccard_hot_shingle_scale_shape(spark):
+    """The df>max_df filter must carry NO forced broadcast (the hot-shingle
+    set's cardinality is unbounded at design scale — r03 verdict #1): it is
+    a windowed count over partitionBy(shingle), whose per-key state is a
+    spill-backed buffer, and whose Exchange is SHARED with the downstream
+    groupBy(shingle) — assert the plan has a Window, no BroadcastExchange
+    feeding an anti-join, and that the df-cap semantics hold."""
     common = "alpha beta gamma"
     rows = [
         (i, f"{common} unique{i} tail{i} end{i} shared{i % 3} more{i % 3} x{i % 3}")
         for i in range(12)
     ]
     df = spark.createDataFrame(rows, "id int, text string")
-    kw = dict(threshold=0.01, max_df=5)
-    bc = sorted(map(tuple, DD.ngram_jaccard_pairs(df, **kw).collect()))
-    assert len(bc) > 0
-    old = {
-        k: spark.conf.get(k, None)
-        for k in ("spark.sql.autoBroadcastJoinThreshold",
-                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
-    }
-    try:
-        for k in old:
-            spark.conf.set(k, "-1")   # force the shuffle anti-join shape
-        sh = sorted(map(tuple, DD.ngram_jaccard_pairs(df, **kw).collect()))
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
-    assert bc == sh
+    out = DD.ngram_jaccard_pairs(df, threshold=0.01, max_df=5)
+    pairs = sorted(map(tuple, out.collect()))
+    assert len(pairs) > 0
     import inspect
 
-    assert "F.broadcast(hot" not in inspect.getsource(DD.ngram_jaccard_pairs)
+    src = inspect.getsource(DD.ngram_jaccard_pairs)
+    assert "F.broadcast(" not in src and "left_anti" not in src
+    assert "Window.partitionBy" in src
+    # the Window itself sits above the localCheckpoint cut, so assert it on
+    # the un-truncated plan of the windowed stage
+    sh = DD.word_shingles(df, "id", "text", 3)
+    from pyspark.sql import Window as W
+
+    probe = sh.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
+    assert "Window" in probe._jdf.queryExecution().executedPlan().toString()
+    # the common-to-all shingle (df=12 > 5) must be capped out of sizes too:
+    # docs sharing ONLY the common shingle have no surviving pair
+    only_common = spark.createDataFrame(
+        [(1, "alpha beta gamma one"), (2, "alpha beta gamma two")],
+        "id int, text string",
+    )
+    assert DD.ngram_jaccard_pairs(only_common, threshold=0.01, max_df=1).count() == 0
 
 
 def test_simhash_vectorized_bit_identical():
