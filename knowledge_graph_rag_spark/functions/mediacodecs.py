@@ -424,7 +424,10 @@ class _BitReader:
                 return False  # EOI or other marker
         else:
             self.pos += 1
-        self.buf = (self.buf << 8) | b
+        # mask to nbits: without it buf grows one byte per fill and every
+        # read_bit shift becomes an ever-larger bigint op — decode time goes
+        # quadratic in entropy-stream size on marker-free streams
+        self.buf = (((self.buf << 8) | b) & ((1 << (self.nbits + 8)) - 1))
         self.nbits += 8
         return True
 
@@ -541,8 +544,12 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:  # noqa: C901
                 comps = []
                 for ci in range(nc):
                     cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
-                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
-                                  "tq": tq})
+                    ch_, cv_ = hv >> 4, hv & 0xF
+                    # T.81 allows 1..4; zero would divide-by-zero below and
+                    # non-power-of-2 ratios break the replicate upsample
+                    if ch_ not in (1, 2, 4) or cv_ not in (1, 2, 4):
+                        return None
+                    comps.append({"id": cid, "h": ch_, "v": cv_, "tq": tq})
             elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 return None  # progressive / other SOF classes
             elif marker == 0xDD:  # DRI
@@ -585,6 +592,8 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:  # noqa: C901
                         for bx in range(c["h"]):
                             zz = np.zeros(64, dtype=np.int64)
                             t = _huff_decode(r, huff[(0, c["dc"])])
+                            if t > 15:  # T.81 DC category ≤ 11 (8-bit)
+                                return None
                             diff = _extend(r.receive(t), t) if t else 0
                             pred[ci] += diff
                             zz[0] = pred[ci]
@@ -609,24 +618,32 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:  # noqa: C901
                             y0 = (my * c["v"] + by) * 8
                             x0 = (mx * c["h"] + bx) * 8
                             planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
-    except (EOFError, ValueError, KeyError, struct.error, IndexError):
+        full = []
+        for c, p in zip(comps, planes):
+            if c["h"] != hmax or c["v"] != vmax:
+                # sampling ratios are powers of 2 (validated at SOF), and
+                # T.81 requires each factor to divide the max — reject the
+                # rest rather than mis-upsample
+                if vmax % c["v"] or hmax % c["h"]:
+                    return None
+                p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                              hmax // c["h"], axis=1)
+            full.append(p[:h, :w])
+        if len(full) == 1:
+            return np.clip(full[0].round(), 0, 255).astype(np.uint8)
+        y, cb, cr = full
+        rr = y + 1.402 * (cr - 128.0)
+        gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bb = y + 1.772 * (cb - 128.0)
+        return np.clip(np.stack([rr, gg, bb], axis=-1).round(), 0, 255).astype(
+            np.uint8
+        )
+    # the promised contract is pixels-or-None: any malformed stream lands
+    # here, never an exception out of the decoder (ZeroDivisionError guards
+    # against degenerate geometry slipping past the marker validation)
+    except (EOFError, ValueError, KeyError, struct.error, IndexError,
+            ZeroDivisionError, OverflowError):
         return None
-
-    full = []
-    for c, p in zip(comps, planes):
-        if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
-                          hmax // c["h"], axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        return np.clip(full[0].round(), 0, 255).astype(np.uint8)
-    y, cb, cr = full
-    rr = y + 1.402 * (cr - 128.0)
-    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bb = y + 1.772 * (cb - 128.0)
-    return np.clip(np.stack([rr, gg, bb], axis=-1).round(), 0, 255).astype(
-        np.uint8
-    )
 
 
 # --- JPEG encoder (fixtures) -------------------------------------------------

@@ -203,3 +203,12 @@ def gopher_quality_cols(text: Column) -> dict[str, Column]:
         "symbol_ratio": sym_ratio,
         "keep": keep,
     }
+
+
+#: GPT-2-style pre-tokenizer classes (contraction / letter-run / digit-run /
+#: punct-run) — the engine's pinned BPE-ish token-count definition. No
+#: lookarounds, so the SAME pattern runs in Java regex and DuckDB RE2;
+#: oracle-pinned by the bpe_token_counts driver entry. Every token-count
+#: consumer (driver entry, curation pipeline) must use THIS constant — a
+#: diverging inline copy silently skews training-mix accounting.
+BPE_PRETOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"

@@ -184,29 +184,56 @@ def minhash_lsh_pairs(
 _SIMHASH_BITS = 64
 
 
+#: tokens longer than this hash via the scalar loop — the padded matrix is
+#: (n_tokens, maxlen), so ONE degenerate "token" (a base64 blob, an
+#: unsegmented CJK document, a long URL) must not scale every row's padding;
+#: natural-language words are far below this.
+_FNV_VEC_MAXLEN = 64
+
+
+def _fnv1a_scalar(b: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for ch in b:
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def _fnv1a_batch(tokens) -> np.ndarray:
     """Vectorized FNV-1a-64 over a sequence of tokens, bit-identical to the
     scalar per-byte loop. All token bytes go into ONE padded (n, maxlen)
     uint8 matrix (single ``b"".join`` + scatter — no per-byte Python), then
     the sequential hash recurrence runs as a maxlen-step loop where each
     step is one vectorized xor-multiply across all tokens still active at
-    that byte position. maxlen for word tokens is ~tens, so the Python loop
-    count is independent of batch size."""
+    that byte position. Tokens longer than _FNV_VEC_MAXLEN fall back to the
+    scalar loop so one huge blob-token can't inflate the padding for the
+    whole batch (matrix stays ≤ n·64 bytes — uint8, upcast per column)."""
     bs = [t.encode("utf-8") for t in tokens]
     lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
     h = np.full(len(bs), 0xCBF29CE484222325, dtype=np.uint64)
     if len(bs) == 0 or lens.max(initial=0) == 0:
         return h
-    maxlen = int(lens.max())
-    allb = np.frombuffer(b"".join(bs), dtype=np.uint8)
-    rows = np.repeat(np.arange(len(bs)), lens)
-    cols = np.arange(len(allb)) - np.repeat(np.cumsum(lens) - lens, lens)
-    mat = np.zeros((len(bs), maxlen), dtype=np.uint64)
+    long_idx = np.nonzero(lens > _FNV_VEC_MAXLEN)[0]
+    if len(long_idx):
+        for j in long_idx:
+            h[j] = _fnv1a_scalar(bs[j])
+        vlens = lens.copy()
+        vlens[long_idx] = 0  # exclude from the vectorized pass
+        vbs = [b if len(b) <= _FNV_VEC_MAXLEN else b"" for b in bs]
+    else:
+        vlens, vbs = lens, bs
+    maxlen = int(vlens.max(initial=0))
+    if maxlen == 0:
+        return h
+    allb = np.frombuffer(b"".join(vbs), dtype=np.uint8)
+    rows = np.repeat(np.arange(len(vbs)), vlens)
+    cols = np.arange(len(allb)) - np.repeat(np.cumsum(vlens) - vlens, vlens)
+    mat = np.zeros((len(vbs), maxlen), dtype=np.uint8)
     mat[rows, cols] = allb
     prime = np.uint64(0x100000001B3)
     for i in range(maxlen):
-        active = lens > i
-        h[active] = (h[active] ^ mat[active, i]) * prime  # uint64 wraps
+        active = vlens > i
+        # uint8 column upcasts to uint64 in the xor; uint64 wraps on multiply
+        h[active] = (h[active] ^ mat[active, i].astype(np.uint64)) * prime
     return h
 
 

@@ -117,19 +117,19 @@ def curate(
     )
 
     def compute_token_stats():
-        from ..functions.text import GOPHER_WS
+        from ..functions.text import BPE_PRETOKEN_REGEX, GOPHER_WS
 
         ws_toks = F.filter(
             F.split(F.col("text"), GOPHER_WS + "+"), lambda x: x != F.lit("")
         )
-        # GPT-2-style pre-tokenizer count (same regex family as the
-        # bpe_token_counts driver entry — Java/RE2-identical)
-        bpe = r"'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+        # THE pinned pre-tokenizer definition (oracle-pinned via the
+        # bpe_token_counts driver entry) — never an inline copy
         return sampled.select(
             "doc_id",
             F.size(ws_toks).cast("long").alias("ws_tokens"),
-            F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe), 0))
-            .cast("long").alias("bpe_tokens"),
+            F.size(F.regexp_extract_all(
+                F.col("text"), F.lit(BPE_PRETOKEN_REGEX), 0
+            )).cast("long").alias("bpe_tokens"),
             F.length("text").cast("long").alias("chars"),
         )
 

@@ -1644,7 +1644,8 @@ def bpe_token_counts(spark, sf_dir):
     """Token counting, BPE-ish pre-tokenizer regex (GPT-2-style contraction /
     letter-run / digit-run / punct-run classes) alongside whitespace tokens —
     the same pattern runs in Java regex and DuckDB RE2 (no lookarounds)."""
-    pat = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+    from ..functions.text import BPE_PRETOKEN_REGEX as pat
+
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))

@@ -234,3 +234,52 @@ def test_jpeg_decoder_rejects_outside_class(w, h):
     meta = MC.jpeg_meta(bytes(blob))
     assert meta["progressive"] and meta["width"] == w
     assert MC.decode_jpeg(bytes(blob[: max(4, len(blob) // 3)])) is None
+
+
+def test_jpeg_decoder_fuzz_never_raises():
+    """Pixels-or-None contract under random byte corruption (seeded): the
+    decoder must never propagate an exception — a poisoned object in a
+    10^12-row decode job must land in decode_status, not kill the task.
+    Also bounds worst-case time: the bit reader is linear (masked buf), DC
+    categories are capped, so no corrupt stream can wedge a task."""
+    import random
+
+    import numpy as np
+
+    from knowledge_graph_rag_spark.functions import mediacodecs as MC
+
+    g = (np.add.outer(np.arange(16), np.arange(16)) % 256).astype(np.uint8)
+    base = MC.encode_jpeg(g)
+    random.seed(7)
+    for _ in range(300):
+        bb = bytearray(base)
+        for _ in range(random.randint(1, 5)):
+            bb[random.randrange(2, len(bb) - 2)] = random.randrange(256)
+        out = MC.decode_jpeg(bytes(bb))
+        assert out is None or isinstance(out, np.ndarray)
+    assert np.abs(MC.decode_jpeg(base).astype(int) - g.astype(int)).max() <= 3
+
+
+def test_simhash_long_token_bounded():
+    """One degenerate 'token' (base64 blob / unsegmented doc) must not
+    inflate the vectorized FNV's padded matrix for the whole batch — long
+    tokens take the scalar path, bit-identically."""
+    import time
+
+    import pandas as pd
+
+    from knowledge_graph_rag_spark.operators import dedup as DD
+
+    def fnv_ref(tok):
+        h = 0xCBF29CE484222325
+        for ch in tok.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    toks = ["short", "x" * 63, "y" * 64, "z" * 65, "B" * 5000, "café"]
+    assert list(DD._fnv1a_batch(toks)) == [fnv_ref(t) for t in toks]
+
+    texts = pd.Series(["normal words here"] * 2000 + ["A" * 200000])
+    t0 = time.time()
+    out = DD.simhash64.func(texts)
+    assert len(out) == 2001 and time.time() - t0 < 5  # was ~12 s / 8 GB

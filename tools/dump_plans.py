@@ -18,6 +18,28 @@ def plan_of(df) -> str:
     )
 
 
+def _library_ngram_windowed_stage(spark, sf):
+    """The library op's plan up to the grouped-bucket table (its
+    localCheckpoint truncates lineage downstream, which would hide the
+    Window from the final collected plan)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_rag_spark.operators.dedup import word_shingles
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    sh = word_shingles(docs, "id", "text", 3)
+    w = Window.partitionBy("shingle")
+    sh_ok = sh.withColumn("df", F.count("*").over(w)).filter(
+        F.col("df") <= 100
+    ).drop("df")
+    return sh_ok.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    )
+
+
 def main() -> None:
     from knowledge_graph_rag_spark import synth
     from knowledge_graph_rag_spark.operators import extract as X
@@ -73,6 +95,20 @@ def main() -> None:
         "quadratic), and pairs come from a native combination expansion. "
         "The bucketed table is checkpointed once and feeds sizes + pair agg.",
         plan_of(DQ.ngram_jaccard_pairs(spark, SF)),
+    ))
+
+    sections.append((
+        "ngram_jaccard_pairs LIBRARY op (windowed df cap)",
+        "operators/dedup.ngram_jaccard_pairs — distinct from the driver "
+        "entry above: the df ≤ max_df hot-shingle cap is a count() over "
+        "Window.partitionBy(shingle), so its Exchange is SHARED with the "
+        "downstream groupBy(shingle) (same hash partitioning — the Window "
+        "and HashAggregate stack on one shuffle), per-key state is a "
+        "spill-backed sort buffer (a 10^9-df stop-phrase spills and is "
+        "filtered, never an unbounded in-memory set), and there is NO "
+        "broadcast of the unbounded-cardinality hot set. Shown pre-"
+        "checkpoint so the Window stage is visible.",
+        plan_of(_library_ngram_windowed_stage(spark, SF)),
     ))
 
     sections.append((
