@@ -1,0 +1,116 @@
+"""Streaming training-data curation (the datapipe twin of
+``streaming.ingest.stream_documents_to_kg``).
+
+Each micro-batch of interleaved/flat documents folds through the SAME
+row-local curation rules as ``plans.datapipe.curate`` — exact dedup (against
+everything already accepted), Gopher quality gate, deterministic hash
+sample, token stats — with the stream-specific shape:
+
+- **State = a partitioned table, not memory.** The accepted-content-hash set
+  lives in ``dp_<dataset>_stream_hashes``; each batch commits ONE new
+  ``graph_id=b<batch_id>`` partition to it and to the curated/token-stats
+  tables via the partition-scoped snapshot protocol, so per-batch commit
+  cost is O(batch), never O(corpus) — no history rewrite, ever.
+- **Exactly-once.** The streaming checkpoint replays a crashed batch with
+  the same batch_id and the manifest guard (``dp_stream::<dataset>::b<id>``)
+  makes the replay a no-op — same contract as run_incremental.
+- **First-seen-wins dedup.** Arrival order decides the surviving doc for
+  identical content (within a batch: min doc_id, matching dedup_exact).
+  Cross-batch near-dup (LSH) is deliberately NOT done per micro-batch — it
+  needs a global index; run ``datapipe.curate`` (or a periodic compaction)
+  over the accepted table for that stage.
+
+Stream == batch parity (when batches arrive in doc_id order, so first-seen
+coincides with min-id) is pinned by test_stream_curation_matches_batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.graph_store import GraphStore
+
+HASHES_TABLE = "stream_hashes"
+DOCS_TABLE = "stream_docs"
+STATS_TABLE = "stream_token_stats"
+
+
+def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
+                batch_id: int, sample_fraction: float) -> None:
+    from ..functions.text import (
+        BPE_PRETOKEN_REGEX,
+        GOPHER_WS,
+        gopher_quality_cols,
+    )
+    from ..operators.dedup import dedup_exact
+    from ..operators.sampling import hash_sample
+
+    guard = f"{dataset_id}::b{batch_id}"
+    if store.is_done("dp_stream", guard):
+        return  # replayed batch — already committed, exactly-once
+    hashes_tbl = f"dp_{dataset_id}_{HASHES_TABLE}"
+    docs_tbl = f"dp_{dataset_id}_{DOCS_TABLE}"
+    stats_tbl = f"dp_{dataset_id}_{STATS_TABLE}"
+
+    docs = dedup_exact(
+        batch_df.select("doc_id", "text"), "doc_id", "text"
+    ).withColumn("_h", F.md5("text"))
+    if store.exists(hashes_tbl):
+        seen = store.read(hashes_tbl).select("_h")
+        docs = docs.join(seen, "_h", "left_anti")
+    docs = docs.filter(gopher_quality_cols(F.col("text"))["keep"])
+    docs = hash_sample(docs, "doc_id", sample_fraction)
+    # one pass: rows are needed for all three commits — localCheckpoint so
+    # the dedup/filter plan runs once (blocks reclaimed after the fold)
+    docs = docs.localCheckpoint(eager=True)
+
+    gid = F.lit(f"b{batch_id}")
+    store.upsert_graph_partitions(
+        hashes_tbl, docs.select(gid.alias("graph_id"), "_h")
+    )
+    store.upsert_graph_partitions(
+        docs_tbl, docs.select(gid.alias("graph_id"), "doc_id", "text")
+    )
+    ws_toks = F.filter(
+        F.split(F.col("text"), GOPHER_WS + "+"), lambda x: x != F.lit("")
+    )
+    store.upsert_graph_partitions(
+        stats_tbl,
+        docs.select(
+            gid.alias("graph_id"),
+            "doc_id",
+            F.size(ws_toks).cast("long").alias("ws_tokens"),
+            F.size(F.regexp_extract_all(
+                F.col("text"), F.lit(BPE_PRETOKEN_REGEX), 0
+            )).cast("long").alias("bpe_tokens"),
+            F.length("text").cast("long").alias("chars"),
+        ),
+    )
+    store.mark_done("dp_stream", guard)
+
+
+def stream_documents_to_curation(
+    docs_stream: DataFrame,
+    store: GraphStore,
+    dataset_id: str = "corpus",
+    checkpoint_dir: str | None = None,
+    sample_fraction: float = 1.0,
+    available_now: bool = True,
+):
+    """foreachBatch curation sink over a (doc_id, text, …) document stream.
+    Returns the started StreamingQuery."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _fold_batch(batch_df, store, dataset_id, batch_id, sample_fraction)
+
+    writer = (
+        docs_stream.writeStream.outputMode("append").foreachBatch(fold)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -204,8 +204,14 @@ def test_jpeg_roundtrip_property(w, h, subsample, restart, gray):
 
     from knowledge_graph_rag_spark.functions import mediacodecs as MC
 
-    g = (np.add.outer(np.arange(h), np.arange(w)) * 5 % 256).astype(np.uint8)
-    img = g if gray else np.stack([g, 255 - g, (g * 2) % 256], axis=-1)
+    # bounded-slope ramp (≤7/px, saturating): a % 256 wrap or a full-range
+    # ramp squeezed into tiny dims puts a hard seam in the chroma planes,
+    # and box-filter + nearest-upsample error at a seam is legitimately
+    # large — that's JPEG, not a decoder bug
+    g = (np.add.outer(np.arange(h), np.arange(w)) * 7).clip(0, 255).astype(
+        np.uint8
+    )
+    img = g if gray else np.stack([g, 255 - g, g // 2], axis=-1)
     blob = MC.encode_jpeg(img, quality=92, subsample="444" if gray else subsample,
                           restart_interval=restart)
     meta = MC.jpeg_meta(blob)
@@ -214,10 +220,10 @@ def test_jpeg_roundtrip_property(w, h, subsample, restart, gray):
     dec = MC.decode_jpeg(blob)
     assert dec is not None and dec.shape == img.shape
     err = np.abs(dec.astype(int) - img.astype(int))
-    # the % 256 wrap makes hard edges → DCT ringing; bound loosely for the
-    # 4:4:4 path, looser again when chroma is box-filtered + upsampled
-    tol = 48 if subsample == "444" or gray else 200
-    assert err.max() <= tol and err.mean() <= (8 if gray else 48)
+    # measured worst cases over a size sweep incl. 1-2px dims:
+    # 444→6, gray→3, 422→11, 420→22 (means ≤ 4.4) — 2× margin
+    tol = 12 if subsample == "444" or gray else 44
+    assert err.max() <= tol and err.mean() <= (4 if gray else 9)
 
 
 @given(st.integers(1, 60), st.integers(1, 60))

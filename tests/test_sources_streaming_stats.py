@@ -606,3 +606,84 @@ def test_session_window_batch_parity(spark):
     for r in islands:
         island_counts[(r.source_ip, r.n_events)] += 1
     assert native_counts == island_counts
+
+
+def test_stream_curation_matches_batch(spark, tmp_path):
+    """Streaming curation == batch curation on the same docs (near-dup stage
+    aside — stream is exact-dedup + quality + sample only): accepted ids and
+    token stats agree, each batch commits its own partition, and a restart
+    with the same checkpoint replays nothing (exactly-once)."""
+    from knowledge_graph_rag_spark.plans import datapipe
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+    from knowledge_graph_rag_spark.streaming.curation import (
+        stream_documents_to_curation,
+    )
+
+    rows = [
+        ("d00", "the quick brown fox jumps over the lazy dog by the river"),
+        ("d01", "a calm essay on parquet row groups and predicate pushdown"),
+        ("d02", "the quick brown fox jumps over the lazy dog by the river"),  # dup of d00
+        ("d03", "@#$% ^&*! ~~~ ++=="),                                        # quality drop
+        ("d04", "broadcast joins and adaptive query execution explained at length"),
+        ("d05", "a calm essay on parquet row groups and predicate pushdown"),  # dup of d01, later batch
+        ("d06", "steady prose about shuffle partitions and skew mitigation today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    # drop-dir: one file per batch, listed (and thus processed) in id order
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for i, chunk in enumerate([rows[:3], rows[3:5], rows[5:]]):
+        spark.createDataFrame(chunk, "doc_id string, text string").coalesce(
+            1
+        ).write.parquet(str(drop / f"part{i:02d}"))
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop) + "/part*")
+    )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    q = stream_documents_to_curation(
+        stream, store, "s1", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    got_ids = {r.doc_id for r in store.read("dp_s1_stream_docs").collect()}
+
+    bstore = GraphStore(spark, str(tmp_path / "bwh"))
+    datapipe.curate(spark, docs, bstore, dataset_id="b1",
+                    near_dup_max_dist=0.01)
+    want = {r.doc_id for r in bstore.read("dp_b1_token_stats").collect()}
+    assert got_ids == want and "d00" in got_ids and "d03" not in got_ids
+    assert "d02" not in got_ids and "d05" not in got_ids  # cross-batch dedup
+
+    stats_s = {
+        (r.doc_id, r.ws_tokens, r.bpe_tokens, r.chars)
+        for r in store.read("dp_s1_stream_token_stats").collect()
+    }
+    stats_b = {
+        (r.doc_id, r.ws_tokens, r.bpe_tokens, r.chars)
+        for r in bstore.read("dp_b1_token_stats").collect()
+    }
+    assert stats_s == stats_b
+
+    # per-batch partitions, not history rewrites
+    parts = {
+        r.graph_id for r in store.read("dp_s1_stream_docs")
+        .select("graph_id").distinct().collect()
+    }
+    assert len(parts) >= 2
+
+    # restart with the same checkpoint: replays nothing
+    before = store.read("dp_s1_stream_docs").count()
+    stream2 = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop) + "/part*")
+    )
+    q2 = stream_documents_to_curation(
+        stream2, store, "s1", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert store.read("dp_s1_stream_docs").count() == before
