@@ -295,6 +295,35 @@ def build_ivf_index(
     return centroids
 
 
+def ivf_index_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental add to a persisted IVF index: assign the new vectors to
+    their nearest cell under the FROZEN stored centroids and APPEND
+    cell-partitioned files — cost is O(new vectors), no existing file is
+    touched, and queries keep pruning to n_probe partitions. This is
+    standard IVF maintenance: centroids are not retrained per add (re-run
+    build_ivf_index offline when the distribution shifts enough that cell
+    occupancy skews — compare per-cell counts against √n). Append
+    semantics: id uniqueness is the caller's contract (a dedup-by-id pass
+    would scan the whole index, defeating the O(new) shape)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_CENTROIDS.json")) as f:
+        centroids = np.asarray(json.load(f), dtype=np.float64)
+    v = new_vectors.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("e")
+    )
+    _assign_cells(v, centroids, "e", 1).select(
+        "vec_id", "e", F.get("cells", 0).alias("cell")
+    ).write.mode("append").partitionBy("cell").parquet(path)
+
+
 def ivf_query_index(
     spark,
     path: str,

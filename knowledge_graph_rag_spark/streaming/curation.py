@@ -90,6 +90,39 @@ def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
     store.mark_done("dp_stream", guard)
 
 
+def compact_stream_curation(
+    store: GraphStore,
+    dataset_id: str,
+    near_dup_max_dist: float = 0.2,
+) -> int:
+    """The deferred cross-batch near-dup stage: run MinHash-LSH + connected
+    components over ALL accepted docs and write the drop set as a TOMBSTONE
+    table (``dp_<dataset>_neardup_drops``) — the accepted per-batch
+    partitions stay immutable (no history rewrite; the tombstone is tiny and
+    applied at read time by read_curated). Re-runnable: each compaction
+    recomputes the full drop set from the current accepted table, so it is
+    idempotent and monotone as batches accrue. Returns the number of
+    tombstoned doc_ids."""
+    from ..plans.datapipe import _near_dup_drop_ids
+
+    docs_tbl = f"dp_{dataset_id}_{DOCS_TABLE}"
+    drops_tbl = f"dp_{dataset_id}_neardup_drops"
+    docs = store.read(docs_tbl).select("doc_id", "text")
+    drops = _near_dup_drop_ids(docs, near_dup_max_dist)
+    store.write_snapshot(drops_tbl, drops, partition_by=())
+    return store.read(drops_tbl).count()
+
+
+def read_curated(store: GraphStore, dataset_id: str) -> DataFrame:
+    """The curated corpus view: accepted stream docs minus near-dup
+    tombstones (if a compaction has run)."""
+    docs = store.read(f"dp_{dataset_id}_{DOCS_TABLE}").select("doc_id", "text")
+    drops_tbl = f"dp_{dataset_id}_neardup_drops"
+    if store.exists(drops_tbl):
+        docs = docs.join(store.read(drops_tbl), "doc_id", "left_anti")
+    return docs
+
+
 def stream_documents_to_curation(
     docs_stream: DataFrame,
     store: GraphStore,

@@ -512,3 +512,101 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     mem = {(r.query_id, r.neighbor_id, r.cosine)
            for r in SIM.ivf_topk(emb, queries, k=3, n_clusters=16, n_probe=8).collect()}
     assert got == mem
+
+
+def test_ivf_index_incremental_add(spark, tmp_path):
+    """ivf_index_add appends new vectors under the frozen centroids:
+    existing files untouched, row count additive, queries over the grown
+    index find the added vectors with pruned scans."""
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") < 40)
+    second = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 80))
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(first, path, n_clusters=8, sample_rows=200)
+
+    def data_files():
+        out = {}
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = data_files()
+    SIM.ivf_index_add(spark, path, second)
+    after = data_files()
+    assert set(before) <= set(after)               # strictly additive
+    assert all(after[p] == m for p, m in before.items())  # untouched
+    assert spark.read.parquet(path).count() == 80
+
+    # a query identical to an added vector must find it at rank 1 with a
+    # full probe (n_probe = n_clusters → exact over the grown index)
+    q = emb.filter(F.col("vec_id") == 50)
+    res = SIM.ivf_query_index(spark, path, q, k=3, n_probe=8).collect()
+    assert res and all(r.query_id == 50 and r.neighbor_id != 50 for r in res)
+    exact = SIM.brute_force_topk(
+        first.unionByName(second), q, k=3
+    ).collect()
+    assert {(r.neighbor_id, r.cosine) for r in res} == {
+        (r.neighbor_id, r.cosine) for r in exact
+    }
+
+
+def test_stream_curation_compaction(spark, tmp_path):
+    """compact_stream_curation tombstones cross-batch near-dups without
+    rewriting the per-batch partitions; read_curated applies them; the
+    surviving set matches the batch pipeline's near-dedup stage."""
+    from knowledge_graph_rag_spark.plans import datapipe
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+    from knowledge_graph_rag_spark.streaming.curation import (
+        compact_stream_curation,
+        read_curated,
+        stream_documents_to_curation,
+    )
+
+    base = ("the patient crane waits beside the shallow river bend while "
+            "morning light settles on the quiet water")
+    rows = [
+        ("d00", base),
+        ("d01", "a calm essay on parquet row groups and predicate pushdown "
+                "written in steady unhurried prose"),
+        ("d02", base.replace("crane", "heron")),   # near-dup of d00, later batch
+        ("d03", "broadcast joins and adaptive query execution explained with "
+                "care and worked examples throughout"),
+    ]
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for i, chunk in enumerate([rows[:2], rows[2:]]):
+        spark.createDataFrame(chunk, "doc_id string, text string").coalesce(
+            1
+        ).write.parquet(str(drop / f"part{i:02d}"))
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop) + "/part*")
+    )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    q = stream_documents_to_curation(
+        stream, store, "c1", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    # cross-batch near-dup survives streaming (exact dedup can't see it)
+    assert {r.doc_id for r in read_curated(store, "c1").collect()} == {
+        "d00", "d01", "d02", "d03"
+    }
+
+    n_drops = compact_stream_curation(store, "c1", near_dup_max_dist=0.5)
+    assert n_drops == 1
+    curated = {r.doc_id for r in read_curated(store, "c1").collect()}
+    assert curated == {"d00", "d01", "d03"}  # min-id representative kept
+
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    bstore = GraphStore(spark, str(tmp_path / "bwh"))
+    datapipe.curate(spark, docs, bstore, dataset_id="b", near_dup_max_dist=0.5)
+    batch_after_neardup = {
+        r.doc_id for r in bstore.read("dp_b_near_dedup").collect()
+    }
+    assert curated == batch_after_neardup
