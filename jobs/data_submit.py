@@ -34,7 +34,16 @@ def main() -> None:
     ap.add_argument("--run-id", default="cur0")
     ap.add_argument("--near-dup-max-dist", type=float, default=0.2)
     ap.add_argument("--sample-fraction", type=float, default=1.0)
+    ap.add_argument("--lang-fractions", default=None,
+                    help="language-stratified sampling, e.g. 'en=0.3,de=1.0' "
+                    "(languages not listed fall back to --sample-fraction)")
     args = ap.parse_args()
+    lang_fractions = None
+    if args.lang_fractions:
+        lang_fractions = {
+            k: float(v)
+            for k, v in (kv.split("=") for kv in args.lang_fractions.split(","))
+        }
 
     from knowledge_graph_rag_spark.plans import datapipe
     from knowledge_graph_rag_spark.session import get_spark
@@ -48,6 +57,7 @@ def main() -> None:
         dataset_id=args.dataset_id, run_id=args.run_id,
         near_dup_max_dist=args.near_dup_max_dist,
         sample_fraction=args.sample_fraction,
+        lang_fractions=lang_fractions,
     )
     print(json.dumps({
         "run_id": res.run_id,

@@ -212,3 +212,28 @@ def gopher_quality_cols(text: Column) -> dict[str, Column]:
 #: consumer (driver entry, curation pipeline) must use THIS constant — a
 #: diverging inline copy silently skews training-mix accounting.
 BPE_PRETOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def language_id_col(text: Column) -> Column:
+    """Single-expression language ID over whitespace tokens: marker-word hit
+    counts with fixed precedence en > es > fr > de, ≥2 hits required, else
+    'unknown' — the same decision rule the oracle-pinned language_detect
+    driver entry implements (text_processors.py:154-196). Used by the
+    curation pipeline for language-stratified sampling."""
+    toks = F.split(F.lower(text), r"\s+")
+
+    def score(lang: str) -> Column:
+        markers = F.array(*[F.lit(m) for m in LANGUAGE_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda w: F.array_contains(markers, w)))
+
+    s = {lang: score(lang) for lang in ("en", "es", "fr", "de")}
+    return (
+        F.when(
+            (s["en"] >= 2) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"])
+            & (s["en"] >= s["de"]), "en",
+        )
+        .when((s["es"] >= 2) & (s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
+        .when((s["fr"] >= 2) & (s["fr"] >= s["de"]), "fr")
+        .when(s["de"] >= 2, "de")
+        .otherwise("unknown")
+    )

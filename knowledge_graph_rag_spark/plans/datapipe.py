@@ -72,10 +72,19 @@ def curate(
     run_id: str = "cur0",
     near_dup_max_dist: float = 0.2,
     sample_fraction: float = 1.0,
+    lang_fractions: dict[str, float] | None = None,
 ) -> CurationResult:
     """Run the curation chain over ``docs`` (doc_id, text, …). Stage outputs
     land as ``dp_<dataset_id>_<stage>`` snapshots; re-running with the same
-    (warehouse, dataset_id) skips completed stages (S9 resume semantics)."""
+    (warehouse, dataset_id) skips completed stages (S9 resume semantics).
+
+    ``lang_fractions`` switches the sample stage to LANGUAGE-STRATIFIED
+    deterministic sampling (the standard training-mix rebalance: e.g.
+    ``{"en": 0.3, "de": 1.0}`` downsamples English to 30% and keeps all
+    German): language is derived per-doc with the oracle-pinned decision
+    rule (functions.text.language_id_col), membership stays a pure function
+    of md5(doc_id) — partition/cluster-independent. Languages absent from
+    the dict default to ``sample_fraction``."""
     res = CurationResult(run_id=run_id)
     metrics_rows: list[tuple] = []
 
@@ -112,9 +121,20 @@ def curate(
         return near.withColumn("keep", q["keep"]).filter("keep").drop("keep")
 
     quality = stage("quality", compute_quality)
-    sampled = stage(
-        "sample", lambda: hash_sample(quality, "doc_id", sample_fraction)
-    )
+
+    def compute_sample():
+        if lang_fractions is None:
+            return hash_sample(quality, "doc_id", sample_fraction)
+        from ..functions.text import language_id_col
+        from ..operators.sampling import stratified_hash_sample
+
+        with_lang = quality.withColumn("lang", language_id_col(F.col("text")))
+        return stratified_hash_sample(
+            with_lang, "doc_id", "lang", lang_fractions,
+            default_fraction=sample_fraction,
+        ).drop("lang")
+
+    sampled = stage("sample", compute_sample)
 
     def compute_token_stats():
         from ..functions.text import BPE_PRETOKEN_REGEX, GOPHER_WS

@@ -360,3 +360,47 @@ def test_data_submit_cli(tmp_path):
     res2 = json.loads(out2.stdout.strip().splitlines()[-1])
     assert not res2["stages_run"]  # fully resumed
     assert res2["counts"] == res1["counts"]
+
+
+def test_curation_language_stratified_sampling(spark, tmp_path):
+    """lang_fractions switches the sample stage to language-stratified
+    deterministic sampling: listed languages get their own rate, the rest
+    fall back to sample_fraction; membership stays a pure function of
+    md5(doc_id) (re-run identical)."""
+    from knowledge_graph_rag_spark.functions.text import language_id_col
+    from knowledge_graph_rag_spark.plans import datapipe
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    en = ("the meeting covered plans that have not been finalized and the "
+          "team agreed that further review is needed for the proposal")
+    de = ("der bericht ist lang und die analyse ist nicht fertig aber das "
+          "team hat die daten geprüft und der plan ist solide für heute")
+    rows = [(f"en{i:03d}", en + f" item {i} " + "detail " * (i % 3))
+            for i in range(40)]
+    rows += [(f"de{i:03d}", de + f" punkt {i} " + "wert " * (i % 3))
+             for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    # sanity: the shared decision rule labels the two groups as intended
+    langs = {r.doc_id: r.lang for r in docs.select(
+        "doc_id", language_id_col(F.col("text")).alias("lang")).collect()}
+    assert all(v == "en" for k, v in langs.items() if k.startswith("en"))
+    assert all(v == "de" for k, v in langs.items() if k.startswith("de"))
+
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    res = datapipe.curate(
+        spark, docs, store, dataset_id="ls", near_dup_max_dist=0.05,
+        lang_fractions={"en": 0.3, "de": 1.0},
+    )
+    kept = {r.doc_id for r in store.read("dp_ls_sample").collect()}
+    n_en = sum(1 for d in kept if d.startswith("en"))
+    n_de = sum(1 for d in kept if d.startswith("de"))
+    assert n_de == res.counts["quality"] - 40  # every surviving de kept
+    assert 0 < n_en < 40  # english downsampled
+
+    # determinism: a fresh warehouse reproduces the exact same sample
+    store2 = GraphStore(spark, str(tmp_path / "wh2"))
+    datapipe.curate(
+        spark, docs, store2, dataset_id="ls", near_dup_max_dist=0.05,
+        lang_fractions={"en": 0.3, "de": 1.0},
+    )
+    assert {r.doc_id for r in store2.read("dp_ls_sample").collect()} == kept
