@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--dataset-id", default="corpus")
     ap.add_argument("--run-id", default="cur0")
     ap.add_argument("--near-dup-max-dist", type=float, default=0.2)
+    ap.add_argument("--near-dup", default="minhash",
+                    choices=("minhash", "simhash", "none"),
+                    help="near-dup strategy: minhash (LSH, higher recall), "
+                    "simhash (cheaper at scale), none (skip the stage)")
     ap.add_argument("--sample-fraction", type=float, default=1.0)
     ap.add_argument("--lang-fractions", default=None,
                     help="language-stratified sampling, e.g. 'en=0.3,de=1.0' "
@@ -58,6 +62,7 @@ def main() -> None:
         near_dup_max_dist=args.near_dup_max_dist,
         sample_fraction=args.sample_fraction,
         lang_fractions=lang_fractions,
+        near_dup_strategy=args.near_dup,
     )
     print(json.dumps({
         "run_id": res.run_id,

@@ -48,14 +48,27 @@ class CurationResult:
     counts: dict[str, int] = field(default_factory=dict)
 
 
-def _near_dup_drop_ids(docs: DataFrame, jaccard_max_dist: float) -> DataFrame:
-    """ids to DROP: MinHash-LSH candidate pairs → connected components →
+def _near_dup_drop_ids(docs: DataFrame, jaccard_max_dist: float,
+                       strategy: str = "minhash") -> DataFrame:
+    """ids to DROP: near-dup candidate pairs → connected components →
     everything except the min-id representative of each cluster. Bounded by
-    the candidate-pair graph, not the corpus (LSH banding prunes first)."""
-    pairs = DD.minhash_lsh_pairs(
-        docs, id_col="doc_id", text_col="text",
-        jaccard_max_dist=jaccard_max_dist,
-    )
+    the candidate-pair graph, not the corpus (banding prunes first).
+    ``strategy``: 'minhash' (Spark ML LSH — higher recall on shingle
+    overlap) or 'simhash' (banded 64-bit simhash — one vectorized UDF pass
+    + 4 equi-joins, the cheaper scale path; Hamming ≤ 3)."""
+    if strategy == "minhash":
+        pairs = DD.minhash_lsh_pairs(
+            docs, id_col="doc_id", text_col="text",
+            jaccard_max_dist=jaccard_max_dist,
+        )
+    elif strategy == "simhash":
+        # library default max_hamming=3 — the regime where the 4×16-bit
+        # banding is pigeonhole-COMPLETE (≤3 flipped bits always share a
+        # band); a looser threshold would silently miss pairs whose diff
+        # bits straddle all four bands
+        pairs = DD.simhash_pairs(docs, id_col="doc_id", text_col="text")
+    else:
+        raise ValueError(f"unknown near-dup strategy: {strategy!r}")
     cc = C.connected_components(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     )
@@ -73,6 +86,7 @@ def curate(
     near_dup_max_dist: float = 0.2,
     sample_fraction: float = 1.0,
     lang_fractions: dict[str, float] | None = None,
+    near_dup_strategy: str = "minhash",
 ) -> CurationResult:
     """Run the curation chain over ``docs`` (doc_id, text, …). Stage outputs
     land as ``dp_<dataset_id>_<stage>`` snapshots; re-running with the same
@@ -110,7 +124,10 @@ def curate(
     near = stage(
         "near_dedup",
         lambda: exact.join(
-            _near_dup_drop_ids(exact, near_dup_max_dist), "doc_id", "left_anti"
+            _near_dup_drop_ids(exact, near_dup_max_dist, near_dup_strategy)
+            if near_dup_strategy != "none"
+            else exact.limit(0).select("doc_id"),
+            "doc_id", "left_anti",
         ),
     )
 

@@ -404,3 +404,42 @@ def test_curation_language_stratified_sampling(spark, tmp_path):
         lang_fractions={"en": 0.3, "de": 1.0},
     )
     assert {r.doc_id for r in store2.read("dp_ls_sample").collect()} == kept
+
+
+def test_curation_near_dup_strategies(spark, tmp_path):
+    """near_dup_strategy selects the candidate generator: simhash catches
+    the planted one-word-swap near-dup like minhash; 'none' skips the stage
+    (pass-through); unknown strategy raises."""
+    import pytest as _pytest
+
+    from knowledge_graph_rag_spark.plans import datapipe
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    # long doc so a one-word swap stays within simhash Hamming ≤ 3 (the
+    # regime where the 4×16-bit banding is pigeonhole-complete)
+    base = ("the patient crane waits beside the shallow river bend while "
+            "morning light settles on the quiet water near the old stones "
+            "and the tall reeds sway gently as the slow current carries "
+            "small leaves past the mossy bank toward the wooden bridge in "
+            "the calm grey distance")
+    rows = [
+        ("d00", base),
+        ("d01", base.replace("crane", "heron")),   # near-dup of d00 (H=1)
+        ("d02", "a calm essay on parquet row groups and predicate pushdown "
+                "written in steady unhurried prose for testing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    s1 = GraphStore(spark, str(tmp_path / "w1"))
+    datapipe.curate(spark, docs, s1, dataset_id="t",
+                    near_dup_strategy="simhash")
+    assert {r.doc_id for r in s1.read("dp_t_near_dedup").collect()} == {
+        "d00", "d02"
+    }
+
+    s2 = GraphStore(spark, str(tmp_path / "w2"))
+    datapipe.curate(spark, docs, s2, dataset_id="t", near_dup_strategy="none")
+    assert s2.read("dp_t_near_dedup").count() == 3
+
+    with _pytest.raises(ValueError):
+        datapipe._near_dup_drop_ids(docs, 0.2, "bogus")
