@@ -57,7 +57,16 @@ def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
         batch_df.select("doc_id", "text"), "doc_id", "text"
     ).withColumn("_h", F.md5("text"))
     if store.exists(hashes_tbl):
-        seen = store.read(hashes_tbl).select("_h")
+        # CRASH-REPLAY SAFETY: exclude this batch's OWN partition from the
+        # seen set. A crash after the hashes commit but before mark_done
+        # replays the batch with its own hashes already visible — without
+        # this filter the replay would dedup the batch against itself and
+        # commit an EMPTY docs partition (silent data loss). With it, the
+        # replay recomputes identically and the partition-scoped upsert
+        # overwrites b<batch_id> idempotently at every crash point.
+        seen = store.read(hashes_tbl).filter(
+            F.col("graph_id") != f"b{batch_id}"
+        ).select("_h")
         docs = docs.join(seen, "_h", "left_anti")
     docs = docs.filter(gopher_quality_cols(F.col("text"))["keep"])
     docs = hash_sample(docs, "doc_id", sample_fraction)

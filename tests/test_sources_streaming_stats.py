@@ -687,3 +687,49 @@ def test_stream_curation_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert store.read("dp_s1_stream_docs").count() == before
+
+
+def test_stream_curation_crash_replay_no_data_loss(spark, tmp_path):
+    """A batch that crashes AFTER the hashes commit but BEFORE mark_done
+    must replay to the same final state — the replay must not dedup the
+    batch against its own partial hashes partition (that path silently
+    committed an empty docs partition)."""
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+    from knowledge_graph_rag_spark.streaming.curation import _fold_batch
+
+    rows = [
+        ("d00", "a calm essay on parquet row groups and predicate pushdown "
+                "written in steady unhurried prose"),
+        ("d01", "broadcast joins and adaptive query execution explained at "
+                "length with worked examples throughout"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id string, text string")
+    store = GraphStore(spark, str(tmp_path / "wh"))
+
+    real_mark_done = store.mark_done
+    calls = {"n": 0}
+
+    def crashing_mark_done(stage, unit="", **meta):
+        if stage == "dp_stream" and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash before the done marker")
+        return real_mark_done(stage, unit, **meta)
+
+    store.mark_done = crashing_mark_done
+    try:
+        _fold_batch(batch, store, "cr", 0, sample_fraction=1.0)
+    except RuntimeError:
+        pass
+    # crashed attempt left the hashes partition behind but no done marker
+    assert store.read("dp_cr_stream_hashes").count() == 2
+    assert not store.is_done("dp_stream", "cr::b0")
+
+    _fold_batch(batch, store, "cr", 0, sample_fraction=1.0)  # replay
+    assert store.is_done("dp_stream", "cr::b0")
+    got = {r.doc_id for r in store.read("dp_cr_stream_docs").collect()}
+    assert got == {"d00", "d01"}  # no data loss
+    assert store.read("dp_cr_stream_hashes").count() == 2  # idempotent
+
+    # a THIRD call is a guarded no-op (exactly-once)
+    _fold_batch(batch, store, "cr", 0, sample_fraction=1.0)
+    assert store.read("dp_cr_stream_docs").count() == 2
