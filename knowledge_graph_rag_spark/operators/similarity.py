@@ -310,7 +310,11 @@ def ivf_index_add(
     build_ivf_index offline when the distribution shifts enough that cell
     occupancy skews — compare per-cell counts against √n). Append
     semantics: id uniqueness is the caller's contract (a dedup-by-id pass
-    would scan the whole index, defeating the O(new) shape)."""
+    would scan the whole index, defeating the O(new) shape), and so is
+    at-most-once delivery — a blind retry of a SUCCEEDED add double-inserts
+    (guard adds with a ledger, e.g. GraphStore.mark_done keyed by the batch
+    id, exactly like the streaming sinks do). A crash mid-append leaves
+    only uncommitted _temporary files, which readers ignore."""
     import json
     import os
 

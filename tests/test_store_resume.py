@@ -432,3 +432,30 @@ def test_canonicalize_never_links_telemetry(spark, store):
     # distinct organizations never merge
     if "Globex Corp" in cmap:
         assert cmap["Globex Corp"] != cmap["Acme Corp"]
+
+
+def test_snapshot_isolation_for_in_flight_readers(spark, store):
+    """A reader that resolved its manifest before a new commit keeps seeing
+    the OLD snapshot when it finally executes — partition versions are
+    immutable and commits only add files, so concurrent read/commit never
+    tears (the Iceberg reader contract)."""
+    store.store_graph(
+        _mini_nodes(spark, "g1", [("n1", "Alpha", "org")]),
+        _mini_edges(spark, "g1", []),
+    )
+    old_snap = store.current_snapshot("nodes")
+    reader = store.read("nodes", old_snap)          # manifest resolved NOW
+    reader_lazy = reader.filter(F.col("graph_id") == "g1")  # not executed yet
+
+    store.store_graph(                               # commit a new version
+        _mini_nodes(spark, "g1", [("n1", "Alpha Renamed", "org"),
+                                  ("n2", "Beta", "org")]),
+        _mini_edges(spark, "g1", []),
+    )
+    assert store.current_snapshot("nodes") != old_snap
+    # the in-flight reader still returns the pre-commit world
+    got = {(r.node_id, r.label) for r in reader_lazy.collect()}
+    assert got == {("n1", "Alpha")}
+    # and a fresh read sees the new one
+    now = {(r.node_id, r.label) for r in store.read("nodes").collect()}
+    assert now == {("n1", "Alpha Renamed"), ("n2", "Beta")}
