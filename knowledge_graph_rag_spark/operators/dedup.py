@@ -142,6 +142,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_pairs_exact_jaccard(
+    pairs: DataFrame, docs: DataFrame,
+    id_col: str = "id", text_col: str = "text",
+    n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard verification of CANDIDATE pairs (id_a, id_b) — the
+    second half of the standard candidate-generation → exact-verify dedup
+    pattern (candidates from minhash_lsh_pairs / simhash_pairs /
+    embedding_cosine_pairs). Cost is O(|pairs|), independent of corpus
+    size: each side's shingle set is built once per doc (distinct word
+    n-grams), the pair join brings both arrays onto one row, and the
+    Jaccard is native array_intersect/array_union — no per-pair shuffle of
+    the shingle stream and no UDF. Unlike ngram_jaccard_pairs (which finds
+    pairs from scratch under a df cap), this computes the UNFILTERED exact
+    Jaccard of the two full shingle sets."""
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != F.lit(""))
+    grams = F.array_distinct(
+        F.transform(
+            F.slice(w, 1, F.greatest(F.size(w) - (n - 1), F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", *([x] + [F.get(w, i + k) for k in range(1, n)])
+            ),
+        )
+    )
+    sets = docs.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    isect = F.size(F.array_intersect("ga", "gb"))
+    un = F.size(F.array_union("ga", "gb"))
+    jac = F.when(un == 0, F.lit(0.0)).otherwise(isect / un)
+    return (
+        pairs.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 #: HashingTF space for MinHash features — fixed, so NO driver-side vocabulary
 #: is ever built (CountVectorizer.fit would materialize the full shingle
 #: vocabulary on the driver: billions of terms at 100 TB).

@@ -411,3 +411,205 @@ def lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- IVF-PQ (product quantization; Jégou, Douze, Schmid, TPAMI 2011) --------
+#
+# The honest 100 TB memory story for embedding search: 10^12 × 64-float
+# vectors (~256 TB raw) cannot be scanned or cached, but m 1-byte PQ codes
+# per vector (m=8 → 8 bytes, 32× smaller) can. Vectors are unit-normalized,
+# coarse-assigned to an IVF cell, and the RESIDUAL (v − centroid) is encoded
+# per subspace against a learned codebook; queries score candidates with
+# asymmetric distance computation (ADC): one small lookup table per
+# (query, subspace), approx cosine = q·centroid + Σ_m LUT_m[code_m]. Exact
+# re-ranking of the approximate top-R composes via brute_force_topk over
+# the original vectors of just those ids.
+
+def fit_pq_codebooks(sample: np.ndarray, m: int, pq_k: int = 256,
+                     seed: int = 42, iters: int = 12) -> np.ndarray:
+    """Deterministic L2 Lloyd k-means per subspace over a (residual) sample:
+    returns (m, pq_k, dim/m) codebooks. dim must be divisible by m."""
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    k = min(pq_k, n)
+    books = np.zeros((m, k, sub))
+    for j in range(m):
+        x = sample[:, j * sub:(j + 1) * sub]
+        centers = x[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = x[assign == c]
+                if len(members):
+                    centers[c] = members.mean(axis=0)
+        books[j, :k] = centers
+    return books
+
+
+def _pq_encode_udf(codebooks: np.ndarray):
+    from pyspark.sql import types as T
+
+    books = codebooks
+    m, _, sub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.ShortType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(x), m), dtype=np.int16)
+        for j in range(m):
+            xs = x[:, j * sub:(j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.int16)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def build_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    n_clusters: int | None = 64,
+    m: int = 8,
+    pq_k: int = 256,
+    sample_rows: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    approx_n: int | None = None,
+) -> None:
+    """Persist an IVF-PQ index: (vec_id, codes) rows partitioned by coarse
+    cell — per-vector storage is m int16 codes (int8-packable), NOT the
+    vector, so the index is ~dim·8/m× smaller than the raw corpus. Coarse
+    centroids + PQ codebooks land in ``_IVFPQ.json``. Sizing knobs are the
+    IVF ones (√n rule via n_clusters=None / approx_n)."""
+    import json
+    import os
+
+    n_clusters = _resolve_n_clusters(n_clusters, vectors, approx_n)
+    sample = _sample_for_fit(vectors, vec_col, sample_rows, sample_fraction, seed)
+    if not sample:
+        raise ValueError("cannot build an IVF-PQ index over an empty table")
+    sx = np.stack(sample)
+    sx = sx / np.maximum(np.linalg.norm(sx, axis=1, keepdims=True), 1e-12)
+    centroids = fit_centroids(sx, n_clusters, seed)
+    # residual sample for the codebooks: subtract each sample's own cell
+    resid = sx - centroids[np.argmax(sx @ centroids.T, axis=1)]
+    books = fit_pq_codebooks(resid, m, pq_k, seed)
+
+    c = centroids
+
+    @F.pandas_udf("array<double>")
+    def residual_of(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(x @ c.T, axis=1)
+        return pd.Series(list(x - c[cell]))
+
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("e")
+    )
+    assigned = _assign_cells(v, centroids, "e", 1).select(
+        "vec_id", "e", F.get("cells", 0).alias("cell")
+    )
+    encode = _pq_encode_udf(books)
+    assigned.select(
+        "vec_id", "cell", encode(residual_of(F.col("e"))).alias("codes")
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_IVFPQ.json"), "w") as f:
+        json.dump({"centroids": centroids.tolist(),
+                   "codebooks": books.tolist(), "m": m}, f)
+
+
+def ivfpq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC query over a persisted IVF-PQ index: probe n_probe cells per
+    query (partition-pruned scan of CODES only — the original vectors are
+    never read), approx_cosine = q·centroid + Σ_m LUT_m[code_m] with the
+    lookup tables built per (query, cell) on the driver (m·pq_k doubles —
+    tiny). Returns (query_id, neighbor_id, approx_cosine, rank); compose
+    with brute_force_topk over the top-R ids for exact re-ranking."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    with open(os.path.join(path, "_IVFPQ.json")) as f:
+        meta = json.load(f)
+    centroids = np.asarray(meta["centroids"])
+    books = np.asarray(meta["codebooks"])
+    m = meta["m"]
+    sub = books.shape[2]
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qe")
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, approx_cosine double, rank int"
+        )
+    qx = np.stack([np.asarray(r.qe, dtype=np.float64) for r in q_rows])
+    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    top = np.argsort(-(qx @ centroids.T), axis=1)[:, :n_probe]
+    probed = sorted({int(c) for row in top for c in row})
+    # per-query LUTs: LUT[q][j, c] = q_sub_j · codebook[j][c]; base[q][cell]
+    luts = {
+        int(r.query_id): np.stack([
+            qx[i, j * sub:(j + 1) * sub] @ books[j].T for j in range(m)
+        ])
+        for i, r in enumerate(q_rows)
+    }
+    bases = {int(r.query_id): qx[i] @ centroids.T for i, r in enumerate(q_rows)}
+    q_cells = spark.createDataFrame(
+        [(int(r.query_id), int(c)) for r, cells in zip(q_rows, top) for c in cells],
+        "query_id long, cell int",
+    )
+    codes = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    joined = q_cells.join(codes, "cell")
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("approx_cosine", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qids = pdf["query_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            s = np.empty(len(pdf))
+            for qid in np.unique(qids):
+                mask = qids == qid
+                lut = luts[int(qid)]
+                s[mask] = bases[int(qid)][cells[mask]] + lut[
+                    np.arange(m)[None, :], cm[mask]
+                ].sum(axis=1)
+            yield pd.DataFrame({
+                "query_id": qids,
+                "neighbor_id": pdf["vec_id"].to_numpy(),
+                "approx_cosine": np.round(s, 6),
+            })
+
+    scored = joined.mapInPandas(score, schema=out_schema).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), "neighbor_id"
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

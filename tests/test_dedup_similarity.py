@@ -610,3 +610,87 @@ def test_stream_curation_compaction(spark, tmp_path):
         r.doc_id for r in bstore.read("dp_b_near_dedup").collect()
     }
     assert curated == batch_after_neardup
+
+
+def test_verify_pairs_exact_jaccard(spark, corpus):
+    """Candidate-verify composition: LSH candidates → exact unfiltered
+    Jaccard per pair, agreeing with a python set computation."""
+    import re
+
+    cands = DD.minhash_lsh_pairs(corpus, jaccard_max_dist=0.6).select(
+        "id_a", "id_b"
+    )
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.verify_pairs_exact_jaccard(
+            cands, corpus, threshold=0.3
+        ).collect()
+    }
+    texts = {r.id: r.text for r in corpus.collect()}
+
+    def sh(t):
+        toks = [x for x in re.split(r"\W+", t.lower()) if x]
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    assert verified  # the exact-dup pair at least
+    for (a, b), j in verified.items():
+        A, B = sh(texts[a]), sh(texts[b])
+        assert abs(j - round(len(A & B) / len(A | B), 4)) < 1e-9
+    assert verified[(1, 2)] == 1.0
+
+
+def test_ivfpq_recall_and_compression(spark, tmp_path):
+    """IVF-PQ: codes-only index (no vectors stored), partition-pruned ADC
+    scan. Recall is measured on PLANTED clusters (uniform-random vectors
+    have cosine gaps below any quantizer's error — meaningless for ANN):
+    recall@10 ≥ 0.6 at half probe, and exact re-rank of the approximate
+    top-30 beats the raw approximate recall (the standard compose)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    bases = rng.normal(size=(25, 64))
+    rows = []
+    vid = 0
+    for b in bases:
+        for _ in range(20):
+            v = b + 0.25 * rng.normal(size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    path = str(tmp_path / "ivfpq")
+    SIM.build_ivfpq_index(emb, path, n_clusters=16, m=16, pq_k=64,
+                          sample_rows=500)
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "codes", "cell"}  # no vectors
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = SIM.ivfpq_query_index(spark, path, queries, k=10, n_probe=8)
+    exact = SIM.brute_force_topk(emb, queries, k=10)
+    a, e = {}, {}
+    for r in approx.collect():
+        a.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in exact.collect():
+        e.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(a.get(q, set()) & e[q]) / len(e[q]) for q in e]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, recalls
+
+    # cluster sanity: approximate neighbors are dominated by cluster-mates
+    for q, ids in a.items():
+        mates = sum(1 for i in ids if i // 20 == q // 20)
+        assert mates >= len(ids) * 0.7, (q, ids)
+
+    # composition: exact re-rank of the approximate top-30 ids ≥ raw approx
+    wide = SIM.ivfpq_query_index(spark, path, queries, k=30, n_probe=8)
+    cand_ids = wide.select(F.col("neighbor_id").alias("vec_id")).distinct()
+    rerank = SIM.brute_force_topk(
+        emb.join(cand_ids, "vec_id", "left_semi"), queries, k=10
+    )
+    rr = {}
+    for r in rerank.collect():
+        rr.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rerank_recall = sum(
+        len(rr.get(q, set()) & e[q]) / len(e[q]) for q in e
+    ) / len(e)
+    assert rerank_recall >= mean_recall
