@@ -150,19 +150,20 @@ LANGUAGE_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def language_marker_score(tokens: Column, lang: str) -> Column:
+    """Marker-hit count for one language over a token array — the single
+    shared scoring expression (native ``size(filter(...))``, replacing the
+    per-word Python loop of text_processors.py:177-180)."""
+    lit_markers = F.array(*[F.lit(m) for m in LANGUAGE_MARKERS[lang]])
+    return F.size(F.filter(tokens, lambda w: F.array_contains(lit_markers, w)))
+
+
 def language_scores_cols(tokens: Column) -> list[Column]:
-    """One marker-hit-count column per language, from a token array —
-    replaces the per-word Python loop of text_processors.py:177-180 with
-    native ``size(filter(...))`` expressions."""
-    out = []
-    for lang, markers in LANGUAGE_MARKERS.items():
-        lit_markers = F.array(*[F.lit(m) for m in markers])
-        out.append(
-            F.size(F.filter(tokens, lambda w: F.array_contains(lit_markers, w))).alias(
-                f"score_{lang}"
-            )
-        )
-    return out
+    """One marker-hit-count column per language, from a token array."""
+    return [
+        language_marker_score(tokens, lang).alias(f"score_{lang}")
+        for lang in LANGUAGE_MARKERS
+    ]
 
 
 # Gopher-rule pretraining-quality heuristics (Rae et al. 2021, §A1.1):
@@ -217,16 +218,19 @@ BPE_PRETOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-
 def language_id_col(text: Column) -> Column:
     """Single-expression language ID over whitespace tokens: marker-word hit
     counts with fixed precedence en > es > fr > de, ≥2 hits required, else
-    'unknown' — the same decision rule the oracle-pinned language_detect
-    driver entry implements (text_processors.py:154-196). Used by the
-    curation pipeline for language-stratified sampling."""
+    'unknown' — the REFERENCE's decision rule and marker sets
+    (text_processors.py:154-196, incl. 'für' in the German set). NOTE the
+    language_detect driver entry intentionally runs an ASCII-reduced German
+    set (driver_queries._MARKERS) so its DuckDB oracle stays
+    encoding-identical across engines — the two classifiers can disagree
+    exactly on docs where 'für' is decisive. Used by the curation pipeline
+    for language-stratified sampling; scoring shared via
+    language_marker_score."""
     toks = F.split(F.lower(text), r"\s+")
-
-    def score(lang: str) -> Column:
-        markers = F.array(*[F.lit(m) for m in LANGUAGE_MARKERS[lang]])
-        return F.size(F.filter(toks, lambda w: F.array_contains(markers, w)))
-
-    s = {lang: score(lang) for lang in ("en", "es", "fr", "de")}
+    s = {
+        lang: language_marker_score(toks, lang)
+        for lang in ("en", "es", "fr", "de")
+    }
     return (
         F.when(
             (s["en"] >= 2) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"])

@@ -166,7 +166,19 @@ def verify_pairs_exact_jaccard(
             ),
         )
     )
-    sets = docs.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    # prune docs to ids that actually appear in a pair BEFORE building the
+    # gram arrays — candidate sets are tiny next to the corpus, and without
+    # the semi-join every corpus row pays the split/transform/distinct cost
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col))
+        .join(pair_ids, "id", "left_semi")
+        .select("id", grams.alias("grams"))
+    )
     sa = sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
     isect = F.size(F.array_intersect("ga", "gb"))

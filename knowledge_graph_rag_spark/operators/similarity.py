@@ -296,7 +296,6 @@ def build_ivf_index(
 
 
 def ivf_index_add(
-    spark,
     path: str,
     new_vectors: DataFrame,
     id_col: str = "vec_id",
@@ -450,24 +449,6 @@ def fit_pq_codebooks(sample: np.ndarray, m: int, pq_k: int = 256,
     return books
 
 
-def _pq_encode_udf(codebooks: np.ndarray):
-    from pyspark.sql import types as T
-
-    books = codebooks
-    m, _, sub = books.shape
-
-    @F.pandas_udf(T.ArrayType(T.ShortType()))
-    def encode(vecs: pd.Series) -> pd.Series:
-        x = np.stack(vecs.to_numpy()).astype(np.float64)
-        codes = np.empty((len(x), m), dtype=np.int16)
-        for j in range(m):
-            xs = x[:, j * sub:(j + 1) * sub]
-            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = np.argmin(d2, axis=1).astype(np.int16)
-        return pd.Series(list(codes))
-
-    return encode
-
 
 def build_ivfpq_index(
     vectors: DataFrame,
@@ -502,23 +483,31 @@ def build_ivfpq_index(
     books = fit_pq_codebooks(resid, m, pq_k, seed)
 
     c = centroids
+    n_sub = books.shape[2]
 
-    @F.pandas_udf("array<double>")
-    def residual_of(vecs: pd.Series) -> pd.Series:
+    # ONE batch pass per row: normalize → coarse argmax → residual → codes.
+    # (Two chained UDFs would normalize + matmul the whole corpus twice,
+    # and an argsort/argmax disagreement on an exact similarity tie could
+    # encode a residual against a different cell than the stored one.)
+    @F.pandas_udf("struct<cell: int, codes: array<smallint>>")
+    def cell_and_codes(vecs: pd.Series) -> pd.DataFrame:
         x = np.stack(vecs.to_numpy()).astype(np.float64)
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         cell = np.argmax(x @ c.T, axis=1)
-        return pd.Series(list(x - c[cell]))
+        resid = x - c[cell]
+        codes = np.empty((len(x), m), dtype=np.int16)
+        for j in range(m):
+            rs = resid[:, j * n_sub:(j + 1) * n_sub]
+            d2 = ((rs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.int16)
+        return pd.DataFrame({"cell": cell.astype("int32"),
+                             "codes": list(codes)})
 
     v = vectors.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("e")
     )
-    assigned = _assign_cells(v, centroids, "e", 1).select(
-        "vec_id", "e", F.get("cells", 0).alias("cell")
-    )
-    encode = _pq_encode_udf(books)
-    assigned.select(
-        "vec_id", "cell", encode(residual_of(F.col("e"))).alias("codes")
+    v.select("vec_id", cell_and_codes(F.col("e")).alias("cc")).select(
+        "vec_id", F.col("cc.cell").alias("cell"), F.col("cc.codes").alias("codes")
     ).write.mode("overwrite").partitionBy("cell").parquet(path)
     with open(os.path.join(path, "_IVFPQ.json"), "w") as f:
         json.dump({"centroids": centroids.tolist(),

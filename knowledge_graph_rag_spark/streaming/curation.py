@@ -53,7 +53,7 @@ def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
     docs_tbl = f"dp_{dataset_id}_{DOCS_TABLE}"
     stats_tbl = f"dp_{dataset_id}_{STATS_TABLE}"
 
-    docs = dedup_exact(
+    deduped = dedup_exact(
         batch_df.select("doc_id", "text"), "doc_id", "text"
     ).withColumn("_h", F.md5("text"))
     if store.exists(hashes_tbl):
@@ -67,16 +67,24 @@ def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
         seen = store.read(hashes_tbl).filter(
             F.col("graph_id") != f"b{batch_id}"
         ).select("_h")
-        docs = docs.join(seen, "_h", "left_anti")
-    docs = docs.filter(gopher_quality_cols(F.col("text"))["keep"])
-    docs = hash_sample(docs, "doc_id", sample_fraction)
-    # one pass: rows are needed for all three commits — localCheckpoint so
-    # the dedup/filter plan runs once (blocks reclaimed after the fold)
+        deduped = deduped.join(seen, "_h", "left_anti")
+    # hashes are recorded PRE-SAMPLE (post-quality): sampling is keyed on
+    # doc_id, not content, so a sampled-OUT doc's content must still be
+    # remembered — otherwise a later-batch duplicate with a different
+    # doc_id re-rolls the sample and can be admitted, diverging from the
+    # batch pipeline (which dedups the whole corpus before sampling).
+    # Quality-rejected docs need no hash: the gate is content-based, so a
+    # later duplicate re-evaluates to the same rejection.
+    passed = deduped.filter(gopher_quality_cols(F.col("text"))["keep"])
+    docs = hash_sample(passed, "doc_id", sample_fraction)
+    # one pass: rows are needed for all commits — localCheckpoint so the
+    # dedup/filter plan runs once (blocks reclaimed after the fold)
+    passed = passed.localCheckpoint(eager=True)
     docs = docs.localCheckpoint(eager=True)
 
     gid = F.lit(f"b{batch_id}")
     store.upsert_graph_partitions(
-        hashes_tbl, docs.select(gid.alias("graph_id"), "_h")
+        hashes_tbl, passed.select(gid.alias("graph_id"), "_h")
     )
     store.upsert_graph_partitions(
         docs_tbl, docs.select(gid.alias("graph_id"), "doc_id", "text")
@@ -103,6 +111,7 @@ def compact_stream_curation(
     store: GraphStore,
     dataset_id: str,
     near_dup_max_dist: float = 0.2,
+    near_dup_strategy: str = "minhash",
 ) -> int:
     """The deferred cross-batch near-dup stage: run MinHash-LSH + connected
     components over ALL accepted docs and write the drop set as a TOMBSTONE
@@ -117,7 +126,7 @@ def compact_stream_curation(
     docs_tbl = f"dp_{dataset_id}_{DOCS_TABLE}"
     drops_tbl = f"dp_{dataset_id}_neardup_drops"
     docs = store.read(docs_tbl).select("doc_id", "text")
-    drops = _near_dup_drop_ids(docs, near_dup_max_dist)
+    drops = _near_dup_drop_ids(docs, near_dup_max_dist, near_dup_strategy)
     store.write_snapshot(drops_tbl, drops, partition_by=())
     return store.read(drops_tbl).count()
 

@@ -536,7 +536,7 @@ def test_ivf_index_incremental_add(spark, tmp_path):
         return out
 
     before = data_files()
-    SIM.ivf_index_add(spark, path, second)
+    SIM.ivf_index_add(path, second)
     after = data_files()
     assert set(before) <= set(after)               # strictly additive
     assert all(after[p] == m for p, m in before.items())  # untouched

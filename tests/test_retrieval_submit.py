@@ -443,3 +443,29 @@ def test_curation_near_dup_strategies(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         datapipe._near_dup_drop_ids(docs, 0.2, "bogus")
+
+
+def test_curation_refuses_mismatched_config_resume(spark, tmp_path):
+    """Resume is keyed by (stage, dataset_id); changing knobs against an
+    already-curated dataset must raise, not silently skip with old results."""
+    import pytest as _pytest
+
+    from knowledge_graph_rag_spark.plans import datapipe
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    docs = spark.createDataFrame(
+        [("d1", "a calm essay on parquet row groups and predicate pushdown "
+                "written in steady unhurried prose")],
+        "doc_id string, text string",
+    )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    datapipe.curate(spark, docs, store, dataset_id="cfg",
+                    near_dup_strategy="none")
+    # same config resumes fine
+    res = datapipe.curate(spark, docs, store, dataset_id="cfg",
+                          near_dup_strategy="none")
+    assert not res.stages_run
+    # different knob → refuse
+    with _pytest.raises(ValueError, match="different configuration"):
+        datapipe.curate(spark, docs, store, dataset_id="cfg",
+                        near_dup_strategy="simhash")

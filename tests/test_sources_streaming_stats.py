@@ -733,3 +733,34 @@ def test_stream_curation_crash_replay_no_data_loss(spark, tmp_path):
     # a THIRD call is a guarded no-op (exactly-once)
     _fold_batch(batch, store, "cr", 0, sample_fraction=1.0)
     assert store.read("dp_cr_stream_docs").count() == 2
+
+
+def test_stream_curation_subsample_dedup_parity(spark, tmp_path):
+    """With sample_fraction < 1, a later-batch duplicate of a SAMPLED-OUT
+    doc must still be deduped (hashes are recorded pre-sample): the batch
+    pipeline dedups the whole corpus before sampling, so content X whose
+    first-seen representative was sampled out is absent from both."""
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+    from knowledge_graph_rag_spark.streaming.curation import _fold_batch
+
+    X = ("a steady account of shuffle partitions and adaptive execution "
+         "written in calm unhurried prose for this test")
+    Y = ("a completely different essay on parquet row groups and predicate "
+         "pushdown with worked examples throughout")
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    # d002's hash bucket >= 32768 → sampled OUT at fraction 0.5;
+    # d000/d001 are sampled IN (precomputed md5 buckets)
+    b1 = spark.createDataFrame([("d002", X), ("d001", Y)],
+                               "doc_id string, text string")
+    _fold_batch(b1, store, "sp", 0, sample_fraction=0.5)
+    accepted1 = {r.doc_id for r in store.read("dp_sp_stream_docs").collect()}
+    assert accepted1 == {"d001"}  # d002 sampled out
+    # its content hash is still recorded
+    assert store.read("dp_sp_stream_hashes").count() == 2
+
+    # batch 2: d000 duplicates X (would be sampled IN) — must be deduped,
+    # matching the batch pipeline's dedup-before-sample order
+    b2 = spark.createDataFrame([("d000", X)], "doc_id string, text string")
+    _fold_batch(b2, store, "sp", 1, sample_fraction=0.5)
+    accepted2 = {r.doc_id for r in store.read("dp_sp_stream_docs").collect()}
+    assert accepted2 == {"d001"}  # d000 dropped as a duplicate of d002
