@@ -14,6 +14,8 @@ beyond the standard library + numpy:
           grayscale / YCbCr 4:4:4 / 4:2:2 / 4:2:0 with restart intervals,
           plus a fixture encoder (Annex K tables); progressive (SOF2) and
           arithmetic-coded stay metadata-only / stubbed
+- GIF   — 87a/89a first frame: palette + variable-width LZW + interlace,
+          plus a fixture encoder (spec-valid uncompressed-LZW form)
 
 Everything else (MP3/MP4-class codecs) stays honestly stubbed in
 operators/multimodal.py. These decoders run inside Arrow-batched mapInPandas
@@ -45,6 +47,8 @@ def sniff(content: bytes) -> str | None:
         return "wav"
     if content[:2] == b"\xFF\xD8":
         return "jpeg"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -262,6 +266,9 @@ def probe(content: bytes) -> dict | None:
         if m and not m["progressive"]:
             return {"format": "jpeg", "width": m["width"], "height": m["height"]}
         return None
+    if fmt == "gif":
+        m = gif_meta(content)
+        return {"format": "gif", "width": m["width"], "height": m["height"]} if m else None
     return None
 
 
@@ -279,6 +286,8 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
         if img is not None and img.ndim == 2:
             img = img[:, :, None]
         return img
+    if fmt == "gif":
+        return decode_gif(content)
     return None
 
 
@@ -827,4 +836,179 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: str = "444",
     out += b"\x00\x3F\x00"
     out += bw.out
     out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# --- GIF (87a/89a, LZW) ------------------------------------------------------
+# Real stdlib+numpy GIF decode: palette + variable-width LZW + optional
+# interlace, first image frame (animation = first frame, the standard
+# thumbnail/feature-extraction semantics). The fixture encoder emits the
+# spec-valid "uncompressed" LZW form (a CLEAR code before every pixel keeps
+# the code width fixed), which still drives the decoder's real dictionary
+# and width-growth logic.
+
+
+def gif_meta(content: bytes) -> dict | None:
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    if len(content) < 13:
+        return None
+    w, h = struct.unpack("<HH", content[6:10])
+    return {"width": w, "height": h, "version": content[3:6].decode("ascii")}
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    dict_: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out: list[int] = []
+    prev: bytes | None = None
+    acc = npos = 0
+    for byte in data:
+        acc |= byte << npos
+        npos += 8
+        while npos >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            npos -= code_size
+            if code == clear:
+                dict_ = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = dict_[code]
+            elif code < len(dict_):
+                entry = dict_[code]
+                dict_.append(prev + entry[:1])
+            elif code == len(dict_):
+                entry = prev + prev[:1]
+                dict_.append(entry)
+            else:
+                raise ValueError("bad LZW code")
+            out.extend(entry)
+            if len(out) > max_pixels:
+                raise ValueError("LZW overrun")
+            prev = entry
+            if len(dict_) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def decode_gif(content: bytes) -> np.ndarray | None:  # noqa: C901
+    """First frame of a GIF87a/89a → (H, W, 3) uint8 RGB, or None outside
+    the supported class (no global/local palette, malformed stream)."""
+    meta = gif_meta(content)
+    if meta is None:
+        return None
+    try:
+        flags = content[10]
+        pos = 13
+        global_pal = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            global_pal = np.frombuffer(
+                content[pos:pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        while pos < len(content):
+            b = content[pos]
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while content[pos] != 0:
+                    pos += 1 + content[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor
+                x0, y0, iw, ih = struct.unpack("<HHHH", content[pos + 1:pos + 9])
+                iflags = content[pos + 9]
+                pos += 10
+                pal = global_pal
+                if iflags & 0x80:
+                    n = 2 << (iflags & 0x07)
+                    pal = np.frombuffer(
+                        content[pos:pos + 3 * n], dtype=np.uint8
+                    ).reshape(n, 3)
+                    pos += 3 * n
+                if pal is None:
+                    return None
+                min_code = content[pos]
+                pos += 1
+                chunks = []
+                while content[pos] != 0:
+                    ln = content[pos]
+                    chunks.append(content[pos + 1:pos + 1 + ln])
+                    pos += 1 + ln
+                idx = _gif_lzw_decode(min_code, b"".join(chunks), iw * ih)
+                if len(idx) < iw * ih:
+                    return None
+                ix = np.asarray(idx[:iw * ih], dtype=np.int64)
+                if ix.max(initial=0) >= len(pal):
+                    return None
+                img = pal[ix].reshape(ih, iw, 3)
+                if iflags & 0x40:  # interlaced: rows in 4-pass order
+                    order = np.concatenate([
+                        np.arange(0, ih, 8), np.arange(4, ih, 8),
+                        np.arange(2, ih, 4), np.arange(1, ih, 2),
+                    ])
+                    deinter = np.empty_like(img)
+                    deinter[order] = img
+                    img = deinter
+                return img
+            elif b == 0x3B:  # trailer
+                return None
+            else:
+                return None
+    except (IndexError, ValueError, struct.error):
+        return None
+    return None
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Single-frame GIF89a for an (H, W, 3) uint8 image with ≤128 distinct
+    colors (fixture generator): global palette + spec-valid uncompressed
+    LZW (CLEAR before every pixel — fixed code width, real decoder path)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    pal, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 128:
+        raise ValueError("fixture encoder supports ≤128 distinct colors")
+    # palette size = power of two ≥ max(len(pal), 4)
+    bits = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
+    n = 1 << bits
+    pal_full = np.zeros((n, 3), dtype=np.uint8)
+    pal_full[:len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag + size, bg, aspect
+    out += pal_full.tobytes()
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    min_code = bits
+    clear = 1 << min_code
+    eoi = clear + 1
+    code_size = min_code + 1
+    acc = npos = 0
+    stream = bytearray()
+    def put(code):
+        nonlocal acc, npos
+        acc |= code << npos
+        npos += code_size
+        while npos >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            npos -= 8
+    for px in inverse:
+        put(clear)   # keeps the dictionary (and code width) fixed
+        put(int(px))
+    put(eoi)
+    if npos:
+        stream.append(acc & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i:i + 255]
+        out += bytes([len(chunk)]) + bytes(chunk)
+    out += b"\x00\x3B"
     return bytes(out)

@@ -165,6 +165,7 @@ def test_media_builders_roundtrip(w, h, rgb):
         (synth.minimal_png_bytes, MC.decode_png),
         (synth.minimal_bmp_bytes, MC.decode_bmp),
         (synth.minimal_ppm_bytes, MC.decode_ppm),
+        (synth.minimal_gif_bytes, MC.decode_gif),
     ):
         blob = build(w, h, rgb)
         arr = decode(blob)
@@ -289,3 +290,33 @@ def test_simhash_long_token_bounded():
     t0 = time.time()
     out = DD.simhash64.func(texts)
     assert len(out) == 2001 and time.time() - t0 < 5  # was ~12 s / 8 GB
+
+
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(2, 100),
+       st.booleans())
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_property(w, h, colors, interlace_noise):
+    """GIF encode→decode is pixel-exact for any paletted image (LZW is
+    lossless); corrupting a random byte never raises (pixels-or-None)."""
+    import random
+
+    import numpy as np
+
+    from knowledge_graph_rag_spark.functions import mediacodecs as MC
+
+    rng = np.random.default_rng(w * 1000 + h * 10 + colors)
+    pal = rng.integers(0, 256, (colors, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, colors, (h, w))]
+    blob = MC.encode_gif(img)
+    assert MC.sniff(blob) == "gif"
+    meta = MC.probe(blob)
+    assert meta == {"format": "gif", "width": w, "height": h}
+    dec = MC.decode_gif(blob)
+    assert dec is not None and (dec == img).all()
+    assert (MC.decode_image_array(blob) == img).all()
+
+    random.seed(w * 31 + h)
+    bb = bytearray(blob)
+    bb[random.randrange(0, len(bb))] = random.randrange(256)
+    out = MC.decode_gif(bytes(bb))
+    assert out is None or isinstance(out, np.ndarray)
