@@ -857,12 +857,25 @@ def gif_meta(content: bytes) -> dict | None:
     return {"width": w, "height": h, "version": content[3:6].decode("ascii")}
 
 
-def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> list[int]:
+#: absolute pixel ceiling for a decodable frame — 64 MP ≈ 192 MB RGB. A
+#: crafted descriptor can claim 65535×65535 (4.3 G px); combined with an
+#: LZW bomb (O(n²) expansion) that would OOM the executor before any
+#: guard fired. Frames above the ceiling are outside the supported class.
+_GIF_MAX_PIXELS = 64 << 20
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
+    """Indices as a bytearray (1 byte/px — a Python int list costs ~28x and
+    is what an LZW bomb would balloon). ``max_pixels`` bounds output BEFORE
+    each append; the effective bound also caps at len(data)·4096 (one code
+    emits at most a 4096-byte dictionary entry), so a tiny crafted stream
+    cannot demand gigabytes no matter what the descriptor claims."""
     clear = 1 << min_code_size
     eoi = clear + 1
     code_size = min_code_size + 1
     dict_: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
-    out: list[int] = []
+    bound = min(max_pixels, len(data) * 4096)
+    out = bytearray()
     prev: bytes | None = None
     acc = npos = 0
     for byte in data:
@@ -889,9 +902,9 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> list[in
                 dict_.append(entry)
             else:
                 raise ValueError("bad LZW code")
-            out.extend(entry)
-            if len(out) > max_pixels:
+            if len(out) + len(entry) > bound:
                 raise ValueError("LZW overrun")
+            out.extend(entry)
             prev = entry
             if len(dict_) >= (1 << code_size) and code_size < 12:
                 code_size += 1
@@ -899,13 +912,21 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> list[in
 
 
 def decode_gif(content: bytes) -> np.ndarray | None:  # noqa: C901
-    """First frame of a GIF87a/89a → (H, W, 3) uint8 RGB, or None outside
-    the supported class (no global/local palette, malformed stream)."""
+    """First frame of a GIF87a/89a composited onto the logical-screen
+    canvas → (canvas_H, canvas_W, 3) uint8 RGB — same dims ``probe``
+    reports (frames can be smaller than the canvas and carry an x/y
+    offset; canvas background = the header's background-color palette
+    entry). None outside the supported class (no palette, malformed
+    stream, frame beyond the canvas or the pixel ceiling)."""
     meta = gif_meta(content)
     if meta is None:
         return None
+    cw, ch = meta["width"], meta["height"]
+    if cw * ch > _GIF_MAX_PIXELS or cw == 0 or ch == 0:
+        return None
     try:
         flags = content[10]
+        bg_index = content[11]
         pos = 13
         global_pal = None
         if flags & 0x80:
@@ -934,6 +955,10 @@ def decode_gif(content: bytes) -> np.ndarray | None:  # noqa: C901
                     pos += 3 * n
                 if pal is None:
                     return None
+                if iw == 0 or ih == 0 or x0 + iw > cw or y0 + ih > ch:
+                    return None
+                if iw * ih > _GIF_MAX_PIXELS:
+                    return None
                 min_code = content[pos]
                 pos += 1
                 chunks = []
@@ -944,7 +969,9 @@ def decode_gif(content: bytes) -> np.ndarray | None:  # noqa: C901
                 idx = _gif_lzw_decode(min_code, b"".join(chunks), iw * ih)
                 if len(idx) < iw * ih:
                     return None
-                ix = np.asarray(idx[:iw * ih], dtype=np.int64)
+                ix = np.frombuffer(
+                    bytes(idx[:iw * ih]), dtype=np.uint8
+                ).astype(np.int64)
                 if ix.max(initial=0) >= len(pal):
                     return None
                 img = pal[ix].reshape(ih, iw, 3)
@@ -956,7 +983,17 @@ def decode_gif(content: bytes) -> np.ndarray | None:  # noqa: C901
                     deinter = np.empty_like(img)
                     deinter[order] = img
                     img = deinter
-                return img
+                # composite onto the canvas so pixel dims == probe dims
+                if (x0, y0, iw, ih) == (0, 0, cw, ch):
+                    return img
+                bg = (
+                    global_pal[bg_index]
+                    if global_pal is not None and bg_index < len(global_pal)
+                    else np.zeros(3, dtype=np.uint8)
+                )
+                canvas = np.tile(bg.astype(np.uint8), (ch, cw, 1))
+                canvas[y0:y0 + ih, x0:x0 + iw] = img
+                return canvas
             elif b == 0x3B:  # trailer
                 return None
             else:
@@ -966,10 +1003,60 @@ def decode_gif(content: bytes) -> np.ndarray | None:  # noqa: C901
     return None
 
 
+def _gif_lzw_encode(min_code_size: int, indices) -> bytes:
+    """Real greedy LZW compression (dictionary growth, width increments,
+    CLEAR reset at 4096 entries) — so fixtures drive every decoder path a
+    real-world GIF does, including the kwkwk (code == len(dict)) case."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = npos = 0
+    stream = bytearray()
+    code_size = min_code_size + 1
+
+    def put(code: int) -> None:
+        nonlocal acc, npos
+        acc |= code << npos
+        npos += code_size
+        while npos >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            npos -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    put(clear)
+    w = b""
+    for px in indices:
+        c = bytes([int(px)])
+        if w + c in table:
+            w += c
+            continue
+        put(table[w])
+        # the decoder adds its mirror entry BEFORE reading the next code —
+        # grow our width at the same boundary or the streams desync
+        if next_code < 4096:
+            table[w + c] = next_code
+            next_code += 1
+            if next_code > (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:
+            put(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = c
+    if w:
+        put(table[w])
+    put(eoi)
+    if npos:
+        stream.append(acc & 0xFF)
+    return bytes(stream)
+
+
 def encode_gif(img: np.ndarray) -> bytes:
     """Single-frame GIF89a for an (H, W, 3) uint8 image with ≤128 distinct
-    colors (fixture generator): global palette + spec-valid uncompressed
-    LZW (CLEAR before every pixel — fixed code width, real decoder path)."""
+    colors (fixture generator): global palette + REAL greedy-LZW
+    compression (_gif_lzw_encode)."""
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     flat = img.reshape(-1, 3)
@@ -987,25 +1074,7 @@ def encode_gif(img: np.ndarray) -> bytes:
     out += pal_full.tobytes()
     out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
     min_code = bits
-    clear = 1 << min_code
-    eoi = clear + 1
-    code_size = min_code + 1
-    acc = npos = 0
-    stream = bytearray()
-    def put(code):
-        nonlocal acc, npos
-        acc |= code << npos
-        npos += code_size
-        while npos >= 8:
-            stream.append(acc & 0xFF)
-            acc >>= 8
-            npos -= 8
-    for px in inverse:
-        put(clear)   # keeps the dictionary (and code width) fixed
-        put(int(px))
-    put(eoi)
-    if npos:
-        stream.append(acc & 0xFF)
+    stream = _gif_lzw_encode(min_code, inverse)
     out += bytes([min_code])
     for i in range(0, len(stream), 255):
         chunk = stream[i:i + 255]

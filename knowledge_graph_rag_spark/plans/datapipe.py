@@ -105,27 +105,33 @@ def curate(
     # Resume is keyed by (stage, dataset_id), NOT by the knob values — so a
     # re-run with different knobs against an already-curated dataset would
     # silently skip every stage and report counts from the OLD
-    # configuration. Record a config fingerprint on the first run and
-    # refuse a mismatched resume (use a fresh dataset_id to re-curate).
+    # configuration. ONE config slot per dataset holds the fingerprint:
+    # - stages done + slot mismatch → refuse (new dataset_id to re-curate);
+    # - stages done + NO slot (dataset from before this guard) → adopt the
+    #   current knobs into the slot (legacy migration, same policy as the
+    #   GraphStore legacy-snapshot migration);
+    # - nothing done → (re)write the slot freely — a crashed zero-stage run
+    #   must not whitelist its config forever (single slot, overwritten).
     import hashlib as _hl
 
     cfg = repr((near_dup_max_dist, sample_fraction,
                 sorted((lang_fractions or {}).items()), near_dup_strategy))
     cfg_key = _hl.md5(cfg.encode()).hexdigest()[:12]
-    cfg_unit = f"{dataset_id}::{cfg_key}"
     any_done = any(
         store.is_done(f"dp_{s}", dataset_id)
         for s in ("exact_dedup", "near_dedup", "quality", "sample",
                   "token_stats")
     )
-    if any_done and not store.is_done("dp_config", cfg_unit):
+    slot = store.stage_meta("dp_config", dataset_id)
+    if any_done and slot is not None and slot.get("cfg_key") != cfg_key:
         raise ValueError(
             f"dataset {dataset_id!r} was curated with a different "
             f"configuration — resume would silently ignore the new knobs; "
             f"use a new dataset_id (or the original settings)"
         )
-    if not store.is_done("dp_config", cfg_unit):
-        store.mark_done("dp_config", cfg_unit, run_id=run_id, config=cfg)
+    if slot is None or slot.get("cfg_key") != cfg_key:
+        store.mark_done("dp_config", dataset_id, run_id=run_id,
+                        cfg_key=cfg_key, config=cfg)
 
     def tbl(stage: str) -> str:
         return f"dp_{dataset_id}_{stage}"

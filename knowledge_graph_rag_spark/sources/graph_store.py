@@ -508,5 +508,9 @@ class GraphStore:
         with open(self._manifest_path(), "w") as f:
             json.dump(m, f, indent=1, sort_keys=True)
 
+    def stage_meta(self, stage: str, unit: str = "") -> dict | None:
+        """The metadata recorded by mark_done for one stage, or None."""
+        return self._load_manifest().get(f"{stage}::{unit}")
+
     def completed_stages(self) -> list[str]:
         return sorted(self._load_manifest())

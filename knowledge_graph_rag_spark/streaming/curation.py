@@ -75,12 +75,14 @@ def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
     # batch pipeline (which dedups the whole corpus before sampling).
     # Quality-rejected docs need no hash: the gate is content-based, so a
     # later duplicate re-evaluates to the same rejection.
-    passed = deduped.filter(gopher_quality_cols(F.col("text"))["keep"])
+    # one pass: checkpoint the heavy dedup/anti-join/quality plan ONCE,
+    # then derive the sample from the CHECKPOINTED frame — deriving it from
+    # the raw plan would re-run the anti-join against the ever-growing
+    # hashes table a second time per batch (blocks reclaimed after fold)
+    passed = deduped.filter(
+        gopher_quality_cols(F.col("text"))["keep"]
+    ).localCheckpoint(eager=True)
     docs = hash_sample(passed, "doc_id", sample_fraction)
-    # one pass: rows are needed for all commits — localCheckpoint so the
-    # dedup/filter plan runs once (blocks reclaimed after the fold)
-    passed = passed.localCheckpoint(eager=True)
-    docs = docs.localCheckpoint(eager=True)
 
     gid = F.lit(f"b{batch_id}")
     store.upsert_graph_partitions(

@@ -320,3 +320,60 @@ def test_gif_roundtrip_property(w, h, colors, interlace_noise):
     bb[random.randrange(0, len(bb))] = random.randrange(256)
     out = MC.decode_gif(bytes(bb))
     assert out is None or isinstance(out, np.ndarray)
+
+
+def test_gif_decoder_hardening():
+    """LZW-bomb descriptors are rejected fast (bounded output, pixel
+    ceiling) and offset frames composite onto the canvas so pixel dims
+    always equal probe dims."""
+    import struct
+    import time
+
+    import numpy as np
+
+    from knowledge_graph_rag_spark.functions import mediacodecs as MC
+
+    rng = np.random.default_rng(5)
+    pal = np.unique(rng.integers(0, 256, (16, 3), dtype=np.uint8), axis=0)
+    base = MC.encode_gif(pal[rng.integers(0, len(pal), (8, 8))])
+
+    bomb = bytearray(base)
+    bomb[6:10] = struct.pack("<HH", 65535, 65535)
+    i = bomb.find(b"\x2C")
+    bomb[i + 5:i + 9] = struct.pack("<HH", 65535, 65535)
+    t0 = time.time()
+    assert MC.decode_gif(bytes(bomb)) is None
+    assert time.time() - t0 < 2.0
+
+    small = bytearray(MC.encode_gif(pal[rng.integers(0, len(pal), (4, 6))]))
+    small[6:10] = struct.pack("<HH", 12, 10)       # canvas 12×10
+    i = small.find(b"\x2C")
+    small[i + 1:i + 5] = struct.pack("<HH", 3, 2)  # frame at (3,2)
+    dec = MC.decode_gif(bytes(small))
+    meta = MC.probe(bytes(small))
+    assert dec is not None and dec.shape == (10, 12, 3)
+    assert (meta["height"], meta["width"]) == (10, 12)
+    # a frame overflowing the canvas is rejected, not mis-placed
+    over = bytearray(small)
+    over[i + 1:i + 5] = struct.pack("<HH", 10, 8)  # 10+6 > 12
+    assert MC.decode_gif(bytes(over)) is None
+
+
+def test_gif_real_lzw_exercises_dictionary_growth():
+    """The fixture encoder is REAL greedy LZW: repetitive content must
+    compress well below 1 code/pixel (proving multi-byte dictionary entries
+    are emitted and the decoder's growth/kwkwk paths run), and roundtrip
+    stays pixel-exact through a >4096-entry dictionary reset."""
+    import numpy as np
+
+    from knowledge_graph_rag_spark.functions import mediacodecs as MC
+
+    rng = np.random.default_rng(9)
+    pal = np.unique(rng.integers(0, 256, (8, 3), dtype=np.uint8), axis=0)
+    img = np.tile(pal[:2][np.array([0, 1, 0, 0, 1])], (200, 40, 1))[:200, :200]
+    blob = MC.encode_gif(img)
+    assert len(blob) < img.size // 3 // 4  # strongly compressed
+    assert (MC.decode_gif(blob) == img).all()
+
+    big = pal[rng.integers(0, len(pal), (120, 120))]  # dict past 4096 → reset
+    assert (MC.decode_gif(MC.encode_gif(big)) == big).all()

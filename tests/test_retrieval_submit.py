@@ -469,3 +469,47 @@ def test_curation_refuses_mismatched_config_resume(spark, tmp_path):
     with _pytest.raises(ValueError, match="different configuration"):
         datapipe.curate(spark, docs, store, dataset_id="cfg",
                         near_dup_strategy="simhash")
+
+
+def test_curation_config_slot_edge_cases(spark, tmp_path):
+    """Single config slot per dataset: a crashed zero-stage run must not
+    whitelist its config forever, and legacy datasets (stages done, no
+    slot) adopt the current knobs instead of bricking resume."""
+    from knowledge_graph_rag_spark.plans import datapipe
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    docs = spark.createDataFrame(
+        [("d1", "a calm essay on parquet row groups and predicate pushdown "
+                "written in steady unhurried prose")],
+        "doc_id string, text string",
+    )
+    # crashed-before-any-stage run under cfg1: only the slot exists
+    store = GraphStore(spark, str(tmp_path / "w1"))
+    import hashlib
+
+    cfg1 = repr((0.2, 1.0, [], "minhash"))
+    store.mark_done("dp_config", "ds", cfg_key=hashlib.md5(
+        cfg1.encode()).hexdigest()[:12], config=cfg1)
+    # full run under cfg2 proceeds (nothing was produced) and takes the slot
+    datapipe.curate(spark, docs, store, dataset_id="ds",
+                    near_dup_strategy="none")
+    # resuming under cfg1 now correctly refuses (slot holds cfg2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different configuration"):
+        datapipe.curate(spark, docs, store, dataset_id="ds")
+
+    # legacy dataset: stages done, slot absent → adopt, don't brick
+    store2 = GraphStore(spark, str(tmp_path / "w2"))
+    datapipe.curate(spark, docs, store2, dataset_id="lg",
+                    near_dup_strategy="none")
+    m = store2._load_manifest()
+    del m["dp_config::lg"]
+    import json as _json
+
+    with open(store2._manifest_path(), "w") as f:
+        _json.dump(m, f)
+    res = datapipe.curate(spark, docs, store2, dataset_id="lg",
+                          near_dup_strategy="none")
+    assert not res.stages_run                      # resumed
+    assert store2.stage_meta("dp_config", "lg")    # slot adopted
