@@ -15,7 +15,10 @@ beyond the standard library + numpy:
           plus a fixture encoder (Annex K tables); progressive (SOF2) and
           arithmetic-coded stay metadata-only / stubbed
 - GIF   — 87a/89a first frame: palette + variable-width LZW + interlace,
-          plus a fixture encoder (spec-valid uncompressed-LZW form)
+          composited onto the logical-screen canvas, plus a real greedy-LZW
+          fixture encoder
+- TIFF  — II/MM first IFD: uncompressed 8-bit gray/RGB chunky strips, plus
+          a fixture encoder; LZW/JPEG-in-TIFF stay metadata-only
 
 Everything else (MP3/MP4-class codecs) stays honestly stubbed in
 operators/multimodal.py. These decoders run inside Arrow-batched mapInPandas
@@ -49,6 +52,8 @@ def sniff(content: bytes) -> str | None:
         return "jpeg"
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -269,6 +274,9 @@ def probe(content: bytes) -> dict | None:
     if fmt == "gif":
         m = gif_meta(content)
         return {"format": "gif", "width": m["width"], "height": m["height"]} if m else None
+    if fmt == "tiff":
+        m = tiff_meta(content)
+        return {"format": "tiff", "width": m["width"], "height": m["height"]} if m else None
     return None
 
 
@@ -288,6 +296,8 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
         return img
     if fmt == "gif":
         return decode_gif(content)
+    if fmt == "tiff":
+        return decode_tiff(content)
     return None
 
 
@@ -1080,4 +1090,136 @@ def encode_gif(img: np.ndarray) -> bytes:
         chunk = stream[i:i + 255]
         out += bytes([len(chunk)]) + bytes(chunk)
     out += b"\x00\x3B"
+    return bytes(out)
+
+
+# --- TIFF (uncompressed baseline class) --------------------------------------
+# Real stdlib+numpy TIFF: II/MM byte orders, first IFD, 8-bit grayscale /
+# RGB with Compression=1 (none), strip assembly. LZW/JPEG-in-TIFF and
+# planar configs stay metadata-only (meta still reports true dims).
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _tiff_ifd(content: bytes):
+    """(byteorder, {tag: (type, values)}) for the first IFD, or None."""
+    if content[:4] == b"II*\x00":
+        bo = "<"
+    elif content[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+    (ifd_off,) = struct.unpack(bo + "I", content[4:8])
+    if ifd_off + 2 > len(content):
+        return None
+    (n,) = struct.unpack(bo + "H", content[ifd_off:ifd_off + 2])
+    tags = {}
+    for i in range(n):
+        e = content[ifd_off + 2 + 12 * i:ifd_off + 14 + 12 * i]
+        if len(e) < 12:
+            return None
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        raw = e[8:12] if total <= 4 else content[
+            struct.unpack(bo + "I", e[8:12])[0]:][:total]
+        if len(raw) < total:
+            return None
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}.get(typ)
+        if typ == 5:  # RATIONAL
+            vals = tuple(struct.unpack(bo + "II", raw[j:j + 8])
+                         for j in range(0, total, 8))
+        else:
+            vals = struct.unpack(bo + fmt * cnt, raw[:total])
+        tags[tag] = (typ, vals)
+    return bo, tags
+
+
+def tiff_meta(content: bytes) -> dict | None:
+    parsed = _tiff_ifd(content)
+    if parsed is None:
+        return None
+    _, tags = parsed
+    if 256 not in tags or 257 not in tags:
+        return None
+    return {
+        "width": int(tags[256][1][0]),
+        "height": int(tags[257][1][0]),
+        "compression": int(tags.get(259, (0, (1,)))[1][0]),
+    }
+
+
+def decode_tiff(content: bytes) -> np.ndarray | None:
+    """Uncompressed 8-bit gray/RGB chunky TIFF → (H, W, C) uint8, or None
+    outside that class (compressed, planar, tiled, non-8-bit)."""
+    parsed = _tiff_ifd(content)
+    if parsed is None:
+        return None
+    _, tags = parsed
+
+    def tag1(t, default=None):
+        return int(tags[t][1][0]) if t in tags else default
+
+    w, h = tag1(256), tag1(257)
+    if not w or not h or w * h > _GIF_MAX_PIXELS:
+        return None
+    if tag1(259, 1) != 1 or tag1(284, 1) != 1:  # compression / planar
+        return None
+    spp = tag1(277, 1)
+    bits = tags.get(258, (3, (8,) * spp))[1]
+    if spp not in (1, 3) or any(b != 8 for b in bits):
+        return None
+    if 273 not in tags or 279 not in tags:
+        return None
+    offsets = tags[273][1]
+    counts = tags[279][1]
+    if len(offsets) != len(counts):
+        return None
+    data = b"".join(
+        content[o:o + c] for o, c in zip(offsets, counts)
+    )
+    need = w * h * spp
+    if len(data) < need:
+        return None
+    return np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w, spp).copy()
+
+
+def encode_tiff(img: np.ndarray) -> bytes:
+    """Minimal single-strip little-endian uncompressed TIFF for (H, W) gray
+    or (H, W, 3) RGB uint8 (fixture generator, byte-stable)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    pix = img.tobytes()
+    # layout: header(8) | pixel data | BitsPerSample array (rgb) | IFD
+    data_off = 8
+    bps_off = data_off + len(pix)
+    ifd_off = bps_off + (6 if not gray else 0)
+    entries = []
+
+    def entry(tag, typ, cnt, val):
+        entries.append(struct.pack("<HHII", tag, typ, cnt, val))
+
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    if gray:
+        entry(258, 3, 1, 8)
+    else:
+        entry(258, 3, 3, bps_off)
+    entry(259, 3, 1, 1)                      # no compression
+    entry(262, 3, 1, 1 if gray else 2)       # BlackIsZero / RGB
+    entry(273, 4, 1, data_off)               # one strip
+    entry(277, 3, 1, spp)
+    entry(278, 4, 1, h)
+    entry(279, 4, 1, len(pix))
+    entry(284, 3, 1, 1)                      # chunky
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += pix
+    if not gray:
+        out += struct.pack("<HHH", 8, 8, 8)
+    out += struct.pack("<H", len(entries)) + b"".join(entries)
+    out += struct.pack("<I", 0)              # next-IFD terminator
     return bytes(out)

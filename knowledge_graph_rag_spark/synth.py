@@ -291,6 +291,19 @@ def minimal_gif_bytes(width: int, height: int,
     )
 
 
+def minimal_tiff_bytes(width: int, height: int,
+                       rgb: tuple[int, int, int]) -> bytes:
+    """Deterministic solid-color uncompressed RGB TIFF via the stdlib
+    encoder in functions/mediacodecs (byte-stable)."""
+    import numpy as _np
+
+    from .functions.mediacodecs import encode_tiff
+
+    return encode_tiff(
+        _np.tile(_np.array(rgb, dtype=_np.uint8), (height, width, 1))
+    )
+
+
 def minimal_wav_bytes(duration_ms: int, sample_rate: int = 8000,
                       freq_step: int = 7) -> bytes:
     """Deterministic 16-bit mono PCM WAV (sawtooth of the frame index)."""

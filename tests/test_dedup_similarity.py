@@ -285,7 +285,7 @@ def test_media_pipeline(spark):
 
 
 def test_media_real_stdlib_decode(spark):
-    """Injectable fetcher serving REAL containers: PNG/BMP/PPM/GIF images and PCM
+    """Injectable fetcher serving REAL containers: PNG/BMP/PPM/GIF/TIFF images and PCM
     WAV audio decode with status ok and true metadata (no codec libs —
     functions/mediacodecs); opaque blobs keep the honest ok_stub path; the
     image resample is a real nearest-neighbor resize."""
@@ -297,11 +297,12 @@ def test_media_real_stdlib_decode(spark):
 
     def fetch(ref: str, kind: str) -> bytes:
         if kind == "image":
-            fmt = ("png", "bmp", "ppm", "gif")[sum(ref.encode()) % 4]
+            fmt = ("png", "bmp", "ppm", "gif", "tiff")[sum(ref.encode()) % 5]
             build = {"png": synth.minimal_png_bytes,
                      "bmp": synth.minimal_bmp_bytes,
                      "ppm": synth.minimal_ppm_bytes,
-                     "gif": synth.minimal_gif_bytes}[fmt]
+                     "gif": synth.minimal_gif_bytes,
+                     "tiff": synth.minimal_tiff_bytes}[fmt]
             return build(17, 9, (40, 80, 120))
         if kind == "audio":
             return synth.minimal_wav_bytes(1200)

@@ -166,6 +166,7 @@ def test_media_builders_roundtrip(w, h, rgb):
         (synth.minimal_bmp_bytes, MC.decode_bmp),
         (synth.minimal_ppm_bytes, MC.decode_ppm),
         (synth.minimal_gif_bytes, MC.decode_gif),
+        (synth.minimal_tiff_bytes, MC.decode_tiff),
     ):
         blob = build(w, h, rgb)
         arr = decode(blob)
