@@ -37,6 +37,10 @@ def main() -> None:
                     choices=("minhash", "simhash", "none"),
                     help="near-dup strategy: minhash (LSH, higher recall), "
                     "simhash (cheaper at scale), none (skip the stage)")
+    ap.add_argument("--near-dup-verify-threshold", type=float, default=None,
+                    help="confirm near-dup candidates by exact word-3-gram "
+                    "Jaccard >= this before dropping (unset = drop on "
+                    "unverified candidates, the pre-r05 behavior)")
     ap.add_argument("--sample-fraction", type=float, default=1.0)
     ap.add_argument("--lang-fractions", default=None,
                     help="language-stratified sampling, e.g. 'en=0.3,de=1.0' "
@@ -63,6 +67,7 @@ def main() -> None:
         sample_fraction=args.sample_fraction,
         lang_fractions=lang_fractions,
         near_dup_strategy=args.near_dup,
+        near_dup_verify_threshold=args.near_dup_verify_threshold,
     )
     print(json.dumps({
         "run_id": res.run_id,

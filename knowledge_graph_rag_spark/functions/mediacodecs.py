@@ -250,7 +250,20 @@ def decode_wav(content: bytes) -> np.ndarray | None:
 
 def probe(content: bytes) -> dict | None:
     """Sniff + metadata for any stdlib-decodable container; None otherwise.
-    Returns {'format', 'width'?, 'height'?, 'duration_ms'?}."""
+    Returns {'format', 'width'?, 'height'?, 'duration_ms'?}. Contract: a
+    non-None image probe implies the matching decoder can decode the class
+    (so decode_media's 'ok' status never overstates) — hence the progressive
+    -JPEG, non-baseline-TIFF, and pixel-ceiling guards below."""
+    out = _probe_inner(content)
+    if out is not None and "width" in out:
+        # decoders refuse frames over the decompression-bomb ceiling, so a
+        # probe reporting such dims would be an 'ok' row that can't decode
+        if out["width"] * out["height"] > _GIF_MAX_PIXELS:
+            return None
+    return out
+
+
+def _probe_inner(content: bytes) -> dict | None:
     fmt = sniff(content)
     if fmt == "png":
         m = png_meta(content)
@@ -276,7 +289,13 @@ def probe(content: bytes) -> dict | None:
         return {"format": "gif", "width": m["width"], "height": m["height"]} if m else None
     if fmt == "tiff":
         m = tiff_meta(content)
-        return {"format": "tiff", "width": m["width"], "height": m["height"]} if m else None
+        # mirror the JPEG progressive guard: report metadata only for the
+        # class decode_tiff can actually decode — an LZW/planar/16-bit TIFF
+        # would otherwise get decode_status 'ok' while resize falls back to
+        # the ok_stub byte-fold (status overstating what was decoded)
+        if m and m["decodable"]:
+            return {"format": "tiff", "width": m["width"], "height": m["height"]}
+        return None
     return None
 
 
@@ -560,6 +579,12 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:  # noqa: C901
                 prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
                 if prec != 8 or nc not in (1, 3):
                     return None
+                # decompression-bomb ceiling (same _GIF_MAX_PIXELS budget as
+                # GIF/TIFF): a crafted SOF can claim 65535×65535, which would
+                # allocate ~34 GB of float64 planes and drive ~268M MCU loop
+                # iterations before the entropy stream is ever validated
+                if w * h > _GIF_MAX_PIXELS:
+                    return None
                 comps = []
                 for ci in range(nc):
                     cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
@@ -661,7 +686,10 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:  # noqa: C901
     # here, never an exception out of the decoder (ZeroDivisionError guards
     # against degenerate geometry slipping past the marker validation)
     except (EOFError, ValueError, KeyError, struct.error, IndexError,
-            ZeroDivisionError, OverflowError):
+            ZeroDivisionError, OverflowError, MemoryError):
+        # MemoryError is a best-effort backstop behind the pixel ceiling —
+        # the decode_media poison-pill isolation can't catch an executor
+        # OOM-kill, so the ceiling above is the real defense
         return None
 
 
@@ -1096,7 +1124,8 @@ def encode_gif(img: np.ndarray) -> bytes:
 # --- TIFF (uncompressed baseline class) --------------------------------------
 # Real stdlib+numpy TIFF: II/MM byte orders, first IFD, 8-bit grayscale /
 # RGB with Compression=1 (none), strip assembly. LZW/JPEG-in-TIFF and
-# planar configs stay metadata-only (meta still reports true dims).
+# planar configs parse to tiff_meta (decodable=False) but probe() reports
+# None for them so decode_media takes the honest ok_stub path.
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -1144,10 +1173,22 @@ def tiff_meta(content: bytes) -> dict | None:
     _, tags = parsed
     if 256 not in tags or 257 not in tags:
         return None
+
+    def tag1(t, default=None):
+        return int(tags[t][1][0]) if t in tags else default
+
+    spp = tag1(277, 1)
+    bits = tags.get(258, (3, (8,) * spp))[1]
     return {
         "width": int(tags[256][1][0]),
         "height": int(tags[257][1][0]),
-        "compression": int(tags.get(259, (0, (1,)))[1][0]),
+        "compression": tag1(259, 1),
+        # the class decode_tiff can actually decode (header-level mirror of
+        # its own checks): uncompressed, chunky, 8-bit, gray or RGB
+        "decodable": (
+            tag1(259, 1) == 1 and tag1(284, 1) == 1
+            and spp in (1, 3) and all(b == 8 for b in bits)
+        ),
     }
 
 

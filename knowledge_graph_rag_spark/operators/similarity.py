@@ -525,10 +525,21 @@ def ivfpq_query_index(
 ) -> DataFrame:
     """ADC query over a persisted IVF-PQ index: probe n_probe cells per
     query (partition-pruned scan of CODES only — the original vectors are
-    never read), approx_cosine = q·centroid + Σ_m LUT_m[code_m] with the
-    lookup tables built per (query, cell) on the driver (m·pq_k doubles —
-    tiny). Returns (query_id, neighbor_id, approx_cosine, rank); compose
-    with brute_force_topk over the top-R ids for exact re-ranking."""
+    never read), approx_cosine = q·centroid + Σ_m LUT_m[code_m]. Returns
+    (query_id, neighbor_id, approx_cosine, rank); compose with
+    brute_force_topk over the top-R ids for exact re-ranking.
+
+    Query-dimension bound (probe-batch contract): the query set is
+    collected to ONE dense (n_q, dim) float64 matrix on the driver and
+    shipped to executors as a single BROADCAST (one transfer per executor,
+    NOT per task — the r04 form captured per-query LUT/base dicts in the
+    task closure, serialized with every task). Per-(query, cell) lookup
+    tables are built inside the scorer from the broadcast (q, codebook)
+    pair, only for the qids present in each Arrow batch (m matvecs each —
+    trivial next to the code scan). Memory is O(n_q·dim) on the driver and
+    per executor: fine for probe batches up to ~10^6 queries at typical
+    dims; for a query TABLE beyond that, chunk the table and call this per
+    chunk (each chunk prunes its own cell set)."""
     import json
     import os
 
@@ -552,14 +563,6 @@ def ivfpq_query_index(
     qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
     top = np.argsort(-(qx @ centroids.T), axis=1)[:, :n_probe]
     probed = sorted({int(c) for row in top for c in row})
-    # per-query LUTs: LUT[q][j, c] = q_sub_j · codebook[j][c]; base[q][cell]
-    luts = {
-        int(r.query_id): np.stack([
-            qx[i, j * sub:(j + 1) * sub] @ books[j].T for j in range(m)
-        ])
-        for i, r in enumerate(q_rows)
-    }
-    bases = {int(r.query_id): qx[i] @ centroids.T for i, r in enumerate(q_rows)}
     q_cells = spark.createDataFrame(
         [(int(r.query_id), int(c)) for r, cells in zip(q_rows, top) for c in cells],
         "query_id long, cell int",
@@ -573,7 +576,17 @@ def ivfpq_query_index(
         T.StructField("approx_cosine", T.DoubleType()),
     ])
 
+    qid_to_row = {int(r.query_id): i for i, r in enumerate(q_rows)}
+    bc = spark.sparkContext.broadcast(
+        {"qx": qx, "qid_to_row": qid_to_row, "books": books,
+         "centroids": centroids}
+    )
+
     def score(batches):
+        b = bc.value
+        bqx, brow = b["qx"], b["qid_to_row"]
+        bbooks, bcents = b["books"], b["centroids"]
+        mi = np.arange(m)[None, :]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -583,10 +596,15 @@ def ivfpq_query_index(
             s = np.empty(len(pdf))
             for qid in np.unique(qids):
                 mask = qids == qid
-                lut = luts[int(qid)]
-                s[mask] = bases[int(qid)][cells[mask]] + lut[
-                    np.arange(m)[None, :], cm[mask]
-                ].sum(axis=1)
+                i = brow[int(qid)]
+                # LUT[j, c] = q_sub_j · codebook[j][c]; built per batch per
+                # qid present — m (sub,)@(sub, pq_k) matvecs, ~µs
+                lut = np.stack([
+                    bqx[i, j * sub:(j + 1) * sub] @ bbooks[j].T
+                    for j in range(m)
+                ])
+                base = bqx[i] @ bcents.T
+                s[mask] = base[cells[mask]] + lut[mi, cm[mask]].sum(axis=1)
             yield pd.DataFrame({
                 "query_id": qids,
                 "neighbor_id": pdf["vec_id"].to_numpy(),

@@ -49,13 +49,23 @@ class CurationResult:
 
 
 def _near_dup_drop_ids(docs: DataFrame, jaccard_max_dist: float,
-                       strategy: str = "minhash") -> DataFrame:
+                       strategy: str = "minhash",
+                       verify_threshold: float | None = None) -> DataFrame:
     """ids to DROP: near-dup candidate pairs → connected components →
     everything except the min-id representative of each cluster. Bounded by
     the candidate-pair graph, not the corpus (banding prunes first).
     ``strategy``: 'minhash' (Spark ML LSH — higher recall on shingle
     overlap) or 'simhash' (banded 64-bit simhash — one vectorized UDF pass
-    + 4 equi-joins, the cheaper scale path; Hamming ≤ 3)."""
+    + 4 equi-joins, the cheaper scale path; Hamming ≤ 3).
+
+    ``verify_threshold``: when set, candidate pairs are confirmed by EXACT
+    word-3-gram Jaccard ≥ threshold (verify_pairs_exact_jaccard — O(pairs),
+    corpus-size-independent) before connected components. Without it, a
+    candidate-generation false positive (an LSH banding collision between
+    genuinely dissimilar docs, or a simhash bag-of-words collision between
+    docs that share tokens but not phrases) PERMANENTLY deletes a good
+    document from the corpus — the r04 verdict #2 failure mode. The drop
+    decision is irreversible, so production curation wants this on."""
     if strategy == "minhash":
         pairs = DD.minhash_lsh_pairs(
             docs, id_col="doc_id", text_col="text",
@@ -69,6 +79,11 @@ def _near_dup_drop_ids(docs: DataFrame, jaccard_max_dist: float,
         pairs = DD.simhash_pairs(docs, id_col="doc_id", text_col="text")
     else:
         raise ValueError(f"unknown near-dup strategy: {strategy!r}")
+    if verify_threshold is not None:
+        pairs = DD.verify_pairs_exact_jaccard(
+            pairs, docs, id_col="doc_id", text_col="text",
+            threshold=verify_threshold,
+        )
     cc = C.connected_components(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     )
@@ -87,6 +102,7 @@ def curate(
     sample_fraction: float = 1.0,
     lang_fractions: dict[str, float] | None = None,
     near_dup_strategy: str = "minhash",
+    near_dup_verify_threshold: float | None = None,
 ) -> CurationResult:
     """Run the curation chain over ``docs`` (doc_id, text, …). Stage outputs
     land as ``dp_<dataset_id>_<stage>`` snapshots; re-running with the same
@@ -98,7 +114,11 @@ def curate(
     German): language is derived per-doc with the oracle-pinned decision
     rule (functions.text.language_id_col), membership stays a pure function
     of md5(doc_id) — partition/cluster-independent. Languages absent from
-    the dict default to ``sample_fraction``."""
+    the dict default to ``sample_fraction``.
+
+    ``near_dup_verify_threshold``: exact-Jaccard confirmation of near-dup
+    candidates before any document is dropped (see _near_dup_drop_ids) —
+    an unverified banding collision otherwise deletes a good doc forever."""
     res = CurationResult(run_id=run_id)
     metrics_rows: list[tuple] = []
 
@@ -114,8 +134,14 @@ def curate(
     #   must not whitelist its config forever (single slot, overwritten).
     import hashlib as _hl
 
+    # verify_threshold joins the fingerprint only when set: r04-era datasets
+    # were curated before the knob existed, and their stored cfg_key must
+    # keep matching a default-knob resume (appending None unconditionally
+    # would turn every legacy resume into a config-mismatch refusal)
     cfg = repr((near_dup_max_dist, sample_fraction,
-                sorted((lang_fractions or {}).items()), near_dup_strategy))
+                sorted((lang_fractions or {}).items()), near_dup_strategy)
+               + ((near_dup_verify_threshold,)
+                  if near_dup_verify_threshold is not None else ()))
     cfg_key = _hl.md5(cfg.encode()).hexdigest()[:12]
     any_done = any(
         store.is_done(f"dp_{s}", dataset_id)
@@ -155,7 +181,8 @@ def curate(
     near = stage(
         "near_dedup",
         lambda: exact.join(
-            _near_dup_drop_ids(exact, near_dup_max_dist, near_dup_strategy)
+            _near_dup_drop_ids(exact, near_dup_max_dist, near_dup_strategy,
+                               near_dup_verify_threshold)
             if near_dup_strategy != "none"
             else exact.limit(0).select("doc_id"),
             "doc_id", "left_anti",

@@ -114,6 +114,7 @@ def compact_stream_curation(
     dataset_id: str,
     near_dup_max_dist: float = 0.2,
     near_dup_strategy: str = "minhash",
+    near_dup_verify_threshold: float | None = None,
 ) -> int:
     """The deferred cross-batch near-dup stage: run MinHash-LSH + connected
     components over ALL accepted docs and write the drop set as a TOMBSTONE
@@ -122,13 +123,16 @@ def compact_stream_curation(
     applied at read time by read_curated). Re-runnable: each compaction
     recomputes the full drop set from the current accepted table, so it is
     idempotent and monotone as batches accrue. Returns the number of
-    tombstoned doc_ids."""
+    tombstoned doc_ids. ``near_dup_verify_threshold`` confirms candidates by
+    exact Jaccard before tombstoning (same knob as datapipe.curate — an
+    unverified banding collision would hide a good doc from read_curated)."""
     from ..plans.datapipe import _near_dup_drop_ids
 
     docs_tbl = f"dp_{dataset_id}_{DOCS_TABLE}"
     drops_tbl = f"dp_{dataset_id}_neardup_drops"
     docs = store.read(docs_tbl).select("doc_id", "text")
-    drops = _near_dup_drop_ids(docs, near_dup_max_dist, near_dup_strategy)
+    drops = _near_dup_drop_ids(docs, near_dup_max_dist, near_dup_strategy,
+                               near_dup_verify_threshold)
     store.write_snapshot(drops_tbl, drops, partition_by=())
     return store.read(drops_tbl).count()
 

@@ -641,6 +641,45 @@ def test_verify_pairs_exact_jaccard(spark, corpus):
     assert verified[(1, 2)] == 1.0
 
 
+def test_ivfpq_query_batch_dimension_bounded(spark, tmp_path):
+    """The documented probe-batch contract: a 10^4-row query batch runs
+    through ONE broadcast of the dense query matrix (the r04 form captured
+    per-query LUT/base dicts in every task closure — O(n_q·m·pq_k) python
+    dicts serialized per task). Every query must come back with k ranked
+    neighbors, and the big-batch scores must agree exactly with a
+    small-batch call for the same vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(200, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivfpq_big")
+    SIM.build_ivfpq_index(emb, path, n_clusters=8, m=4, pq_k=16,
+                          sample_rows=200)
+
+    n_q = 10_000
+    qvecs = base[np.arange(n_q) % 200] + 0.01 * rng.normal(size=(n_q, 16))
+    bigq = spark.createDataFrame(
+        [(100_000 + i, [float(x) for x in qvecs[i]]) for i in range(n_q)],
+        "vec_id long, embedding array<double>",
+    )
+    res = SIM.ivfpq_query_index(spark, path, bigq, k=3, n_probe=4)
+    per_q = {r.query_id: r.cnt for r in res.groupBy("query_id").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert len(per_q) == n_q and all(v == 3 for v in per_q.values())
+
+    small = SIM.ivfpq_query_index(spark, path, bigq.filter(
+        F.col("vec_id") < 100_010), k=3, n_probe=4)
+    big_rows = {(r.query_id, r.rank): (r.neighbor_id, r.approx_cosine)
+                for r in res.filter(F.col("query_id") < 100_010).collect()}
+    small_rows = {(r.query_id, r.rank): (r.neighbor_id, r.approx_cosine)
+                  for r in small.collect()}
+    assert big_rows == small_rows
+
+
 def test_ivfpq_recall_and_compression(spark, tmp_path):
     """IVF-PQ: codes-only index (no vectors stored), partition-pruned ADC
     scan. Recall is measured on PLANTED clusters (uniform-random vectors

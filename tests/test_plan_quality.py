@@ -63,7 +63,36 @@ def test_extraction_single_shuffle(spark):
     assert len(broadcasts) == 4  # 2 alias sides + semantic map + direction table
 
 
-def test_partial_aggregation_before_shuffle(spark):
+def test_dedup_exact_single_exchange(spark):
+    """First-seen-wins exact dedup is ONE shuffle (row_number over
+    partitionBy(hash)) — the r04 groupBy + left_semi form paid two. It runs
+    once per corpus in datapipe.curate AND once per micro-batch in the
+    streaming curation sink, so the plan shape is a per-batch cost at scale."""
+    import re
+
+    from knowledge_graph_rag_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(40)], "id long, text string"
+    )
+    plan = _plan(DD.dedup_exact(df))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_driver_ngram_entry_is_the_library_plan(spark):
+    """The bench/driver ngram_jaccard_pairs entry must carry the library
+    op's scale shape (r04 verdict #1): the df cap is a WINDOW sharing the
+    shingle Exchange (spill-backed, never a materialized hot set) and the
+    per-doc size joins have NO broadcast hint — `sizes` has one row per
+    document, unbounded at the design point. AQE may still pick a broadcast
+    at sf0.001; the assertion is on the optimized logical plan (no
+    ResolvedHint) + the window's presence."""
+    from knowledge_graph_rag_spark.plans import driver_queries as DQ
+
+    df = DQ.extended_queries()["ngram_jaccard_pairs"](spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "hint" not in logical.lower(), logical[:1500]
     """groupBy compiles to partial+final HashAggregate (map-side combine)."""
     df = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")

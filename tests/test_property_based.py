@@ -268,6 +268,53 @@ def test_jpeg_decoder_fuzz_never_raises():
     assert np.abs(MC.decode_jpeg(base).astype(int) - g.astype(int)).max() <= 3
 
 
+def test_jpeg_pixel_ceiling_bomb():
+    """A crafted SOF0 claiming 65535×65535 must be rejected FAST by the
+    pixel ceiling (same _GIF_MAX_PIXELS budget as GIF/TIFF) — without it the
+    decoder would allocate ~34 GB of float64 planes and run ~268M MCU loop
+    iterations before any entropy-stream check. probe() must refuse too, so
+    decode_media never labels the row 'ok'."""
+    import struct
+    import time
+
+    from knowledge_graph_rag_spark.functions import mediacodecs as MC
+
+    blob = bytearray(synth.minimal_jpeg_bytes(8, 8))
+    i = blob.find(b"\xFF\xC0")
+    blob[i + 5:i + 9] = struct.pack(">HH", 65535, 65535)  # h, w
+    t0 = time.time()
+    assert MC.decode_jpeg(bytes(blob)) is None
+    assert time.time() - t0 < 2.0
+    assert MC.probe(bytes(blob)) is None
+
+
+def test_tiff_probe_honest_about_decodable_class():
+    """probe() reports TIFF metadata only for decode_tiff's supported class:
+    an LZW-compressed TIFF (IFD parses, dims known, pixels undecodable) must
+    probe as None so the row takes the honest ok_stub path instead of an
+    'ok' status whose resize silently falls back to the byte-fold."""
+    import struct
+
+    import numpy as np
+
+    from knowledge_graph_rag_spark.functions import mediacodecs as MC
+
+    img = (np.add.outer(np.arange(6), np.arange(9)) % 256).astype(np.uint8)
+    blob = bytearray(MC.encode_tiff(img))
+    assert MC.probe(bytes(blob)) == {"format": "tiff", "width": 9, "height": 6}
+
+    # patch the Compression entry (tag 259, SHORT, 1) from 1 → 5 (LZW)
+    ent = struct.pack("<HHII", 259, 3, 1, 1)
+    i = blob.find(ent)
+    assert i > 0
+    blob[i:i + 12] = struct.pack("<HHII", 259, 3, 1, 5)
+    meta = MC.tiff_meta(bytes(blob))
+    assert meta["width"] == 9 and meta["compression"] == 5
+    assert not meta["decodable"]
+    assert MC.decode_tiff(bytes(blob)) is None
+    assert MC.probe(bytes(blob)) is None
+
+
 def test_simhash_long_token_bounded():
     """One degenerate 'token' (base64 blob / unsegmented doc) must not
     inflate the vectorized FNV's padded matrix for the whole batch — long

@@ -445,6 +445,105 @@ def test_curation_near_dup_strategies(spark, tmp_path):
         datapipe._near_dup_drop_ids(docs, 0.2, "bogus")
 
 
+def test_curation_verify_threshold_saves_false_positive(spark, tmp_path):
+    """verify_threshold pipes near-dup candidates through exact-Jaccard
+    confirmation before any drop. Planted false positive: a doc and its
+    word-REVERSED twin have the identical simhash (bag-of-words — order
+    blind), so candidate generation pairs them at Hamming 0, yet their
+    word-3-gram Jaccard is exactly 0 (all-distinct words → no shared
+    trigram). Without verification the twin is permanently deleted; with it,
+    both survive while the TRUE near-dup (one-word swap, Jaccard ≈ 0.85) is
+    still dropped — under both strategies."""
+    from knowledge_graph_rag_spark.plans import datapipe
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    base = ("the patient crane waits beside the shallow river bend while "
+            "morning light settles on the quiet water near the old stones "
+            "and the tall reeds sway gently as the slow current carries "
+            "small leaves past the mossy bank toward the wooden bridge in "
+            "the calm grey distance")
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu amber "
+             "basil cedar dahlia").split()
+    rows = [
+        ("d00", base),
+        ("d01", base.replace("crane", "heron")),  # TRUE near-dup of d00
+        ("d02", " ".join(words)),
+        ("d03", " ".join(reversed(words))),       # simhash FP twin of d02
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    drops_unverified = {
+        r.doc_id
+        for r in datapipe._near_dup_drop_ids(docs, 0.2, "simhash").collect()
+    }
+    assert drops_unverified == {"d01", "d03"}  # FP twin deleted — the hazard
+
+    drops_verified = {
+        r.doc_id
+        for r in datapipe._near_dup_drop_ids(
+            docs, 0.2, "simhash", verify_threshold=0.5
+        ).collect()
+    }
+    assert drops_verified == {"d01"}  # twin saved, true dup still dropped
+
+    # minhash strategy: same knob, true near-dup still confirmed + dropped
+    drops_mh = {
+        r.doc_id
+        for r in datapipe._near_dup_drop_ids(
+            docs, 0.5, "minhash", verify_threshold=0.5
+        ).collect()
+    }
+    assert "d01" in drops_mh and "d03" not in drops_mh
+
+    # end-to-end: curate with the knob keeps the twin through near_dedup,
+    # and the knob participates in the config fingerprint (resume with a
+    # different verify setting against this dataset must refuse)
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    datapipe.curate(spark, docs, store, dataset_id="v",
+                    near_dup_strategy="simhash",
+                    near_dup_verify_threshold=0.5)
+    assert {r.doc_id for r in store.read("dp_v_near_dedup").collect()} == {
+        "d00", "d02", "d03"
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different"):
+        datapipe.curate(spark, docs, store, dataset_id="v",
+                        near_dup_strategy="simhash")
+
+
+def test_stream_compaction_verify_threshold(spark, tmp_path):
+    """compact_stream_curation passes verify_threshold through: the simhash
+    FP twin is tombstoned without verification, kept with it."""
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+    from knowledge_graph_rag_spark.streaming.curation import (
+        compact_stream_curation,
+        read_curated,
+    )
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu amber "
+             "basil cedar dahlia").split()
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    store.upsert_graph_partitions(
+        "dp_fp_stream_docs",
+        spark.createDataFrame(
+            [("b0", "d02", " ".join(words)),
+             ("b0", "d03", " ".join(reversed(words)))],
+            "graph_id string, doc_id string, text string",
+        ),
+    )
+    n = compact_stream_curation(store, "fp", near_dup_strategy="simhash")
+    assert n == 1  # unverified: twin tombstoned
+    n = compact_stream_curation(store, "fp", near_dup_strategy="simhash",
+                                near_dup_verify_threshold=0.5)
+    assert n == 0  # verified: tombstone set recomputed empty
+    assert read_curated(store, "fp").count() == 2
+
+
 def test_curation_refuses_mismatched_config_resume(spark, tmp_path):
     """Resume is keyed by (stage, dataset_id); changing knobs against an
     already-curated dataset must raise, not silently skip with old results."""
