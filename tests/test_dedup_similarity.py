@@ -128,6 +128,23 @@ def test_ngram_jaccard_hot_shingle_scale_shape(spark):
     assert DD.ngram_jaccard_pairs(only_common, threshold=0.01, max_df=1).count() == 0
 
 
+def test_word_shingles_tokenization_linear(spark):
+    """Canary for the r05 O(len²) regression: the gram lambda reads the
+    token array through a MATERIALIZED projected column — if the split
+    expression is ever inlined into the per-element F.get again, each
+    element access re-runs the regex tokenization (a 3,000-word doc then
+    costs ~9M splits and minutes; linear is instant). Also pins exactness:
+    shingle count for an n-word all-distinct doc is n-2."""
+    import time
+
+    words = " ".join(f"w{i}" for i in range(3000))
+    df = spark.createDataFrame([(1, words)], "id int, text string")
+    t0 = time.time()
+    n = DD.word_shingles(df, "id", "text", 3).count()
+    assert n == 2998
+    assert time.time() - t0 < 20, "tokenization is re-evaluated per element"
+
+
 def test_simhash_vectorized_bit_identical():
     """_fnv1a_batch and the SWAR vote path must be bit-identical to the
     scalar per-byte FNV-1a reference (the simhash constants are pinned by

@@ -88,26 +88,32 @@ def main() -> None:
     ))
 
     sections.append((
-        "ngram_jaccard_pairs (df-capped near-dup)",
-        "Bucket-explode pair generation, not a shingle self-join: one "
-        "hash aggregate builds (shingle → sorted id set), the df ≤ 100 cap "
-        "bounds every bucket (one stop-phrase shingle can no longer go "
-        "quadratic), and pairs come from a native combination expansion. "
-        "The bucketed table is checkpointed once and feeds sizes + pair agg.",
-        plan_of(DQ.ngram_jaccard_pairs(spark, SF)),
+        "ngram_jaccard_pairs (bench/driver entry — delegates to the library op)",
+        "Since r05 the bench path IS operators/dedup.ngram_jaccard_pairs "
+        "(no inline twin): bucket-explode pair generation (not a shingle "
+        "self-join), df ≤ 100 windowed cap, NO broadcast hints on the "
+        "per-doc size joins — `sizes` has one row per document, unbounded "
+        "at the design point (AQE may still choose a broadcast at small SF "
+        "from runtime stats, which is the right call there and impossible "
+        "to hardcode safely at 100 TB). The bucketed table is checkpointed "
+        "once and feeds sizes + pair agg; the Window stage is hidden here "
+        "behind the checkpoint — see the next section for it.",
+        plan_of(DQ.extended_queries()["ngram_jaccard_pairs"](spark, SF)),
     ))
 
     sections.append((
-        "ngram_jaccard_pairs LIBRARY op (windowed df cap)",
-        "operators/dedup.ngram_jaccard_pairs — distinct from the driver "
-        "entry above: the df ≤ max_df hot-shingle cap is a count() over "
+        "ngram_jaccard_pairs LIBRARY op, pre-checkpoint window stage",
+        "The df ≤ max_df hot-shingle cap is a count() over "
         "Window.partitionBy(shingle), so its Exchange is SHARED with the "
         "downstream groupBy(shingle) (same hash partitioning — the Window "
         "and HashAggregate stack on one shuffle), per-key state is a "
         "spill-backed sort buffer (a 10^9-df stop-phrase spills and is "
         "filtered, never an unbounded in-memory set), and there is NO "
         "broadcast of the unbounded-cardinality hot set. Shown pre-"
-        "checkpoint so the Window stage is visible.",
+        "checkpoint so the Window stage is visible. Note the projected "
+        "token-array column feeding the gram lambda: materializing it keeps "
+        "the regex tokenization O(len) per row (inlined, each per-element "
+        "F.get re-evaluated the split — measured 6× on the sf0.1 bench).",
         plan_of(_library_ngram_windowed_stage(spark, SF)),
     ))
 
