@@ -112,11 +112,21 @@ def decode_png(content: bytes) -> np.ndarray | None:
     idat = b"".join(d for t, d in _png_chunks(content) if t == b"IDAT")
     if not idat:
         return None
-    raw = zlib.decompress(idat)
     w, h = meta["width"], meta["height"]
     ch = _PNG_CHANNELS[meta["color_type"]]
+    # decompression-bomb defense (same _GIF_MAX_PIXELS budget as the other
+    # codecs): refuse the claimed geometry BEFORE inflating, and cap the
+    # inflater at the exact expected output so a zlib bomb behind small
+    # claimed dims can never materialize more than stride·h bytes
+    if w == 0 or h == 0 or w * h > _GIF_MAX_PIXELS:
+        return None
     stride = w * ch
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    try:
+        raw = zlib.decompressobj().decompress(idat, expected + 1)
+    except zlib.error:
+        return None
+    if len(raw) != expected:
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = bytearray(stride)
@@ -256,9 +266,11 @@ def probe(content: bytes) -> dict | None:
     -JPEG, non-baseline-TIFF, and pixel-ceiling guards below."""
     out = _probe_inner(content)
     if out is not None and "width" in out:
-        # decoders refuse frames over the decompression-bomb ceiling, so a
-        # probe reporting such dims would be an 'ok' row that can't decode
-        if out["width"] * out["height"] > _GIF_MAX_PIXELS:
+        # decoders refuse frames over the decompression-bomb ceiling AND
+        # zero-dimension frames, so a probe reporting such dims would be an
+        # 'ok' row that can't decode
+        w, h = out["width"], out["height"]
+        if w == 0 or h == 0 or w * h > _GIF_MAX_PIXELS:
             return None
     return out
 
@@ -1179,15 +1191,32 @@ def tiff_meta(content: bytes) -> dict | None:
 
     spp = tag1(277, 1)
     bits = tags.get(258, (3, (8,) * spp))[1]
+    w, h = int(tags[256][1][0]), int(tags[257][1][0])
+    # strip layout must be complete AND hold enough bytes — a truncated or
+    # tag-mismatched strip table parses to dims but decode_tiff returns
+    # None, and 'decodable' must mirror that (status honesty)
+    offs = tags.get(273, (None, ()))[1]
+    cnts = tags.get(279, (None, ()))[1]
+    available = sum(
+        max(0, min(int(o) + int(c), len(content)) - min(int(o), len(content)))
+        for o, c in zip(offs, cnts)
+    )
+    strips_ok = (
+        273 in tags and 279 in tags and len(offs) == len(cnts)
+        and available >= w * h * spp
+    )
     return {
-        "width": int(tags[256][1][0]),
-        "height": int(tags[257][1][0]),
+        "width": w,
+        "height": h,
         "compression": tag1(259, 1),
         # the class decode_tiff can actually decode (header-level mirror of
-        # its own checks): uncompressed, chunky, 8-bit, gray or RGB
+        # ALL its checks): uncompressed, chunky, 8-bit, gray or RGB, nonzero
+        # dims, complete strip data
         "decodable": (
-            tag1(259, 1) == 1 and tag1(284, 1) == 1
+            w > 0 and h > 0
+            and tag1(259, 1) == 1 and tag1(284, 1) == 1
             and spp in (1, 3) and all(b == 8 for b in bits)
+            and strips_ok
         ),
     }
 

@@ -82,17 +82,39 @@ def test_dedup_exact_single_exchange(spark):
 
 def test_driver_ngram_entry_is_the_library_plan(spark):
     """The bench/driver ngram_jaccard_pairs entry must carry the library
-    op's scale shape (r04 verdict #1): the df cap is a WINDOW sharing the
-    shingle Exchange (spill-backed, never a materialized hot set) and the
-    per-doc size joins have NO broadcast hint — `sizes` has one row per
-    document, unbounded at the design point. AQE may still pick a broadcast
-    at sf0.001; the assertion is on the optimized logical plan (no
-    ResolvedHint) + the window's presence."""
+    op's scale shape (r04 verdict #1): it DELEGATES to
+    operators.dedup.ngram_jaccard_pairs (the windowed-df-cap shape pinned by
+    test_ngram_jaccard_hot_shingle_scale_shape) and its plan carries NO
+    broadcast hint — `sizes` has one row per document, unbounded at the
+    design point. AQE may still pick a broadcast at sf0.001 from runtime
+    stats; the assertion is on the optimized logical plan (no ResolvedHint)
+    + the delegation itself, and the pre-checkpoint Window stage is
+    asserted on the library stage (the localCheckpoint cut hides it from
+    the entry's own collected plan)."""
+    import inspect
+
+    from pyspark.sql import Window as W
+
+    from knowledge_graph_rag_spark.operators import dedup as DD
     from knowledge_graph_rag_spark.plans import driver_queries as DQ
 
     df = DQ.extended_queries()["ngram_jaccard_pairs"](spark, SF_DIR)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert "hint" not in logical.lower(), logical[:1500]
+    src = inspect.getsource(DQ.ngram_jaccard_pairs)
+    assert "ngram_jaccard_pairs as lib_pairs" in src  # delegation, no twin
+    body = src.split('"""')[-1]  # strip decorator/oracle/docstring
+    assert "F.broadcast(" not in body and "collect_set" not in body
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    sh = DD.word_shingles(docs, "id", "text", 3)
+    probe = sh.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
+    assert "Window" in probe._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partial_aggregation_before_shuffle(spark):
     """groupBy compiles to partial+final HashAggregate (map-side combine)."""
     df = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")

@@ -315,6 +315,106 @@ def test_tiff_probe_honest_about_decodable_class():
     assert MC.probe(bytes(blob)) is None
 
 
+def test_png_pixel_ceiling_and_bounded_inflate():
+    """PNG joins the shared decompression-bomb defense: (a) IHDR claiming
+    65500×65500 is refused before any inflate; (b) a zlib bomb behind SMALL
+    claimed dims is capped at the expected raw size (decompressobj
+    max_length) instead of materializing gigabytes; (c) corrupt zlib
+    returns None (pixels-or-None), never raises; probe() refuses the bomb
+    and zero-dim claims too."""
+    import struct
+    import time
+    import zlib
+
+    from knowledge_graph_rag_spark.functions import mediacodecs as MC
+
+    base = bytearray(synth.minimal_png_bytes(8, 8, (10, 20, 30)))
+    bomb = bytearray(base)
+    bomb[16:24] = struct.pack(">II", 65500, 65500)
+    t0 = time.time()
+    assert MC.decode_png(bytes(bomb)) is None
+    assert time.time() - t0 < 2.0
+    assert MC.probe(bytes(bomb)) is None
+
+    zero = bytearray(base)
+    zero[16:24] = struct.pack(">II", 0, 8)
+    assert MC.decode_png(bytes(zero)) is None
+    assert MC.probe(bytes(zero)) is None
+
+    # zlib bomb: 64 MB of zeros compresses to ~64 KB; claimed dims 8×8
+    payload = zlib.compress(b"\x00" * (64 << 20), 9)
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)
+    out += struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr))
+    out += struct.pack(">I", len(payload)) + b"IDAT" + payload + struct.pack(
+        ">I", zlib.crc32(b"IDAT" + payload))
+    out += struct.pack(">I", 0) + b"IEND" + struct.pack(
+        ">I", zlib.crc32(b"IEND"))
+    t0 = time.time()
+    assert MC.decode_png(bytes(out)) is None  # size mismatch, capped inflate
+    assert time.time() - t0 < 2.0
+
+    corrupt = bytearray(base)
+    i = bytes(corrupt).find(b"IDAT") + 6
+    corrupt[i] ^= 0xFF
+    assert MC.decode_png(bytes(corrupt)) is None  # zlib.error → None
+
+    # the real fixture still decodes
+    assert MC.decode_png(bytes(base)).shape == (8, 8, 3)
+
+
+def test_tiff_decodable_mirrors_strip_checks():
+    """tiff_meta['decodable'] must mirror decode_tiff's STRIP checks too: a
+    truncated strip table or insufficient strip bytes → decodable=False and
+    probe None (else decode_media labels an undecodable row 'ok')."""
+    import struct
+
+    import numpy as np
+
+    from knowledge_graph_rag_spark.functions import mediacodecs as MC
+
+    img = (np.add.outer(np.arange(5), np.arange(7)) % 256).astype(np.uint8)
+    blob = bytes(MC.encode_tiff(img))
+    assert MC.tiff_meta(blob)["decodable"]
+
+    # truncate the pixel data (strips point past EOF): still parses to dims
+    cut = blob[: 8 + (5 * 7) // 2] + blob[8 + 5 * 7:]
+    if MC.tiff_meta(cut) is not None:  # IFD survived the cut
+        assert not MC.tiff_meta(cut)["decodable"]
+        assert MC.decode_tiff(cut) is None
+        assert MC.probe(cut) is None
+
+    # drop StripByteCounts (tag 279): dims known, pixels unrecoverable
+    ent = struct.pack("<HHII", 279, 4, 1, 5 * 7)
+    i = blob.find(ent)
+    assert i > 0
+    # overwrite with a harmless duplicate of Orientation-like short tag id
+    patched = bytearray(blob)
+    patched[i:i + 2] = struct.pack("<H", 0xFFFE)
+    meta = MC.tiff_meta(bytes(patched))
+    assert meta is not None and not meta["decodable"]
+    assert MC.decode_tiff(bytes(patched)) is None
+    assert MC.probe(bytes(patched)) is None
+
+
+def test_zero_dim_image_probe_refused():
+    """A GIF whose screen descriptor claims width=0 probes None (the
+    decoder refuses zero dims, so probe must not report an 'ok' row)."""
+    import struct
+
+    import numpy as np
+
+    from knowledge_graph_rag_spark.functions import mediacodecs as MC
+
+    rng = np.random.default_rng(2)
+    pal = np.unique(rng.integers(0, 256, (8, 3), dtype=np.uint8), axis=0)
+    blob = bytearray(MC.encode_gif(pal[rng.integers(0, len(pal), (4, 4))]))
+    blob[6:10] = struct.pack("<HH", 0, 4)
+    assert MC.decode_gif(bytes(blob)) is None
+    assert MC.probe(bytes(blob)) is None
+
+
 def test_simhash_long_token_bounded():
     """One degenerate 'token' (base64 blob / unsegmented doc) must not
     inflate the vectorized FNV's padded matrix for the whole batch — long
