@@ -126,7 +126,9 @@ bandwidth per core is constant as executors are added, which is exactly the
 regime the 2→8 measurement represents.
 
 Full-pipeline (synthesis→extract→canonicalize→materialize) end-to-end
-numbers live in BENCH/E2E.md.
+numbers live in BENCH/E2E.md. The shuffle-heavy curation dedup path has its
+own N vs 4N evidence in BENCH/CURATION_SCALING.md
+(`python BENCH/run_curation_scaling.py`).
 
 Regenerate: `python BENCH/run_scaling.py`.
 """

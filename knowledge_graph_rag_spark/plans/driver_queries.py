@@ -1713,6 +1713,38 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "triangle_count_graph",
+    """
+    WITH raw AS (
+      SELECT l_partkey % 97 AS x, l_suppkey % 97 AS y FROM lineitem
+    ), e AS (
+      SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+      FROM raw WHERE x <> y
+    )
+    SELECT count(*)::BIGINT AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    """,
+)
+def triangle_count_graph(spark, sf_dir):
+    """Graph analytics: global triangle count (operators.graphalgs.
+    triangle_count — degree-ordered wedge enumeration, Suri &
+    Vassilvitskii WWW'11) over a deterministic co-occurrence graph derived
+    from lineitem (part/supp keys folded mod 97). The oracle counts the
+    same triangles with an id-ordered 3-way self-join: any total order
+    counts each triangle exactly once, so the degree-ordered Spark plan
+    (the skew-safe one) and the id-ordered SQL agree by construction."""
+    from ..operators.graphalgs import triangle_count
+
+    edges = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 97).alias("src"),
+        (F.col("l_suppkey") % 97).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+@q(
     "verified_ngram_pairs",
     """
     WITH shingles0 AS (

@@ -186,6 +186,42 @@ def test_pagerank_vs_numpy_oracle(spark):
     assert got["c"] > got["e"]
 
 
+def test_triangle_count_vs_bruteforce(spark):
+    """triangle_count equals an itertools brute force on known graphs: K4
+    (4 triangles), C5 (0), and a seeded random graph; robust to duplicate /
+    reversed / self-loop edges (canonicalized first)."""
+    import itertools
+    import random
+
+    from knowledge_graph_rag_spark.operators.graphalgs import triangle_count
+
+    def brute(edge_list):
+        adj = set()
+        nodes = set()
+        for u, v in edge_list:
+            if u != v:
+                adj.add((min(u, v), max(u, v)))
+                nodes.update((u, v))
+        return sum(
+            1
+            for a, b, c in itertools.combinations(sorted(nodes), 3)
+            if (a, b) in adj and (a, c) in adj and (b, c) in adj
+        )
+
+    k4 = [(a, b) for a, b in itertools.combinations("abcd", 2)]
+    c5 = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "a")]
+    random.seed(9)
+    rnd = [
+        (f"n{random.randrange(30)}", f"n{random.randrange(30)}")
+        for _ in range(150)
+    ]
+    noisy = k4 + [(b, a) for a, b in k4] + [("a", "a")] + k4  # dups/rev/loop
+    for edge_list in (k4, c5, rnd, noisy):
+        df = spark.createDataFrame(edge_list, "src string, dst string")
+        got = triangle_count(df).collect()[0].n_triangles
+        assert got == brute(edge_list), (edge_list[:5], got, brute(edge_list))
+
+
 def test_pagerank_leaves_no_pinned_storage(spark):
     """Library hygiene: pagerank must not leave frames pinned in managed
     memory after the caller drops the result (localCheckpoint blocks are
