@@ -91,3 +91,33 @@ def shared_passage_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def duplicated_passage_stats(
+    df: DataFrame, id_col: str = "id", text_col: str = "text",
+    k: int = 8, window: int = 4,
+) -> DataFrame:
+    """Per-document duplicated-passage profile: (id, n_fps, n_shared_fps,
+    dup_ratio) where n_shared_fps counts the doc's winnowed fingerprints
+    that also occur in ANOTHER document — the standard curation signal for
+    boilerplate/templated content (a doc can be globally unique yet 90%
+    assembled from passages seen elsewhere; exact/near dedup won't flag it,
+    this does). The cross-doc occurrence count is a window over
+    partitionBy(fingerprint) sharing ONE Exchange with nothing else needed
+    — same spill-safe shape as the ngram df cap; per-doc fingerprints are
+    deduped by winnow(), so the window count IS document frequency."""
+    from pyspark.sql import Window
+
+    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    w = Window.partitionBy("fingerprint")
+    marked = fp.withColumn("dfp", F.count("*").over(w))
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").alias("n_fps"),
+            F.sum((F.col("dfp") >= 2).cast("long")).alias("n_shared_fps"),
+        )
+        .withColumn(
+            "dup_ratio", F.round(F.col("n_shared_fps") / F.col("n_fps"), 4)
+        )
+    )

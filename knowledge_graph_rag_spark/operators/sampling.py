@@ -44,3 +44,48 @@ def stratified_hash_sample(
             F.col(strata_col) == value, F.lit(int(frac * _BUCKETS))
         ).otherwise(thresh)
     return df.filter(hash_bucket(F.col(key_col)) < thresh)
+
+
+def token_budget_sample(
+    df: DataFrame, key_col: str, tokens_col: str,
+    budgets: dict[str, int], strata_col: str,
+) -> DataFrame:
+    """Deterministic TOKEN-BUDGET sampling: per stratum (language), keep
+    docs in md5(key) priority order until the running token total reaches
+    the stratum's budget — the training-mix operation as it is actually
+    specified ("300 B tokens of English, all of the German"), which a
+    row-fraction sampler can only approximate when doc lengths vary.
+
+    Membership rule: a doc is kept iff the EXCLUSIVE running sum of
+    ``tokens_col`` over docs of its stratum with smaller (hash, key) is
+    still below the budget — so the first doc to cross the budget line is
+    kept (budget is a lower bound on kept tokens) and everything after it
+    is cut. Hash-priority makes the kept set a pure function of content
+    keys: partition-, cluster-, and engine-independent (same guarantee as
+    hash_sample), and ADDING docs to the corpus only replaces tail docs
+    near the budget line, never reshuffles the whole sample. Strata absent
+    from ``budgets`` are kept whole.
+
+    Scale shape: one Exchange on the stratum + a per-stratum sort (the
+    window's spill-backed state) — the same cost class as any global
+    ranking; at extreme per-stratum cardinality swap in an approximate
+    quantile cut on the hash to pre-filter before the exact window."""
+    from pyspark.sql import Window
+
+    pr = hash_bucket(F.col(key_col))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(pr, F.col(key_col).cast("string"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.lit(None).cast("long")
+    for value, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == value, F.lit(b)).otherwise(budget)
+    running = F.coalesce(
+        F.sum(F.col(tokens_col)).over(w), F.lit(0).cast("long")
+    )
+    return (
+        df.withColumn("_prior_tokens", running)
+        .filter(budget.isNull() | (F.col("_prior_tokens") < budget))
+        .drop("_prior_tokens")
+    )

@@ -1713,6 +1713,92 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "passage_dup_profile",
+    # Frozen-literal oracle — regenerated by `tools/freeze_oracles.py
+    # passage_dup_profile` (winnowing's rolling-hash fingerprints are not
+    # SQL-expressible; the underlying kernel is pinned by
+    # test_winnowing_fingerprints + test_duplicated_passage_stats).
+    # Stability across configured AND bare sessions checked before freezing.
+    """
+    SELECT * FROM (VALUES
+      (0::BIGINT, 453::BIGINT, 27025::BIGINT, 4::BIGINT),
+      (9::BIGINT, 47::BIGINT, 2704::BIGINT, 2685::BIGINT)
+    ) AS t(dup_decile, n_docs, total_fps, total_shared_fps)
+    """,
+)
+def passage_dup_profile(spark, sf_dir):
+    """Corpus boilerplate profile: documents bucketed by their duplicated-
+    passage ratio (operators.fingerprint.duplicated_passage_stats — share
+    of a doc's winnowed fingerprints that occur in another doc). The
+    curation signal exact/near dedup misses: a globally-unique doc
+    assembled from passages seen elsewhere."""
+    from ..operators.fingerprint import duplicated_passage_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    # k=30-char grams: long enough to mean "passage", not "word" (k=8
+    # buckets 99% of this corpus at decile 9 — vocabulary-level sharing)
+    stats = duplicated_passage_stats(docs, "doc_id", "text", k=30, window=8)
+    bucket = F.least(F.floor(F.col("dup_ratio") * 10), F.lit(9)).cast("int")
+    return (
+        stats.groupBy(bucket.alias("dup_decile"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_fps").alias("total_fps"),
+            F.sum("n_shared_fps").alias("total_shared_fps"),
+        )
+        .orderBy("dup_decile")
+    )
+
+
+@q(
+    "token_budget_sample_mix",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS toks,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT AS pr
+      FROM documents
+    ), r AS (
+      SELECT *, coalesce(sum(toks) OVER (
+               PARTITION BY lang ORDER BY pr, doc_id::VARCHAR
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM d
+    ), kept AS (
+      SELECT * FROM r
+      WHERE CASE lang WHEN 'en' THEN prior < 5000
+                      WHEN 'de' THEN prior < 1500
+                      ELSE TRUE END
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS tokens
+    FROM kept GROUP BY lang
+    """,
+)
+def token_budget_sample_mix(spark, sf_dir):
+    """Training-mix assembly by TOKEN budget (operators.sampling.
+    token_budget_sample): keep English docs until 5,000 whitespace tokens
+    and German until 1,500 (hash-priority order — deterministic across
+    partitionings/engines; the first doc crossing the line is kept), other
+    languages whole; report the resulting per-language mix. This is the op
+    as training mixes are actually specified — a row-fraction sampler can
+    only approximate a token target when doc lengths vary."""
+    from ..operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+    kept = token_budget_sample(
+        docs.withColumn("toks", toks), "doc_id", "toks",
+        {"en": 5000, "de": 1500}, "lang",
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("tokens"),
+    )
+
+
+@q(
     "triangle_count_graph",
     """
     WITH raw AS (

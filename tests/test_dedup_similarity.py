@@ -484,6 +484,101 @@ def test_hash_sample_partition_independent(spark):
     assert 0.05 < by["en"] / (4000 * 2 / 3) < 0.15
 
 
+def test_token_budget_sample(spark):
+    """Token-budget sampling: per-stratum kept docs follow hash-priority
+    order with the first budget-crossing doc kept (budget = lower bound on
+    kept tokens); membership is partition-independent; absent strata kept
+    whole; appending new docs only perturbs the tail (never evicts a doc
+    whose prior tokens stayed below budget)."""
+    import hashlib
+
+    from knowledge_graph_rag_spark.operators import sampling as SP
+
+    rows = [(f"d{i:03d}", "en" if i % 3 else "de", 10 + (i * 7) % 50)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, toks long")
+    kept = SP.token_budget_sample(df, "doc_id", "toks", {"en": 700}, "lang")
+    got = {(r.doc_id, r.lang) for r in kept.collect()}
+
+    # python reference: exclusive running sum in (md5-prefix, key) order
+    def pr(k):
+        return int(hashlib.md5(k.encode()).hexdigest()[:4], 16)
+
+    en = sorted((r for r in rows if r[1] == "en"),
+                key=lambda r: (pr(r[0]), r[0]))
+    run, expect_en = 0, set()
+    for d, l, t in en:
+        if run < 700:
+            expect_en.add((d, l))
+        run += t
+    assert {g for g in got if g[1] == "en"} == expect_en
+    kept_en_tokens = sum(t for d, l, t in rows if (d, l) in got and l == "en")
+    assert kept_en_tokens >= 700  # first crossing doc is kept
+    # de has no budget: kept whole
+    assert {g for g in got if g[1] == "de"} == {
+        (d, l) for d, l, _ in rows if l == "de"
+    }
+    # partition independence
+    got2 = {(r.doc_id, r.lang) for r in SP.token_budget_sample(
+        df.repartition(13), "doc_id", "toks", {"en": 700}, "lang"
+    ).collect()}
+    assert got2 == got
+    # append-stability: new docs can only displace docs at/after the budget
+    # line — every kept doc whose prior stayed below budget remains kept
+    bigger = df.unionByName(spark.createDataFrame(
+        [(f"x{i:03d}", "en", 10) for i in range(50)],
+        "doc_id string, lang string, toks long",
+    ))
+    got3 = {(r.doc_id, r.lang) for r in SP.token_budget_sample(
+        bigger, "doc_id", "toks", {"en": 700}, "lang").collect()}
+    en3 = sorted(
+        [(d, 10) for d in (f"x{i:03d}" for i in range(50))] + [
+            (d, t) for d, l, t in rows if l == "en"
+        ],
+        key=lambda r: (pr(r[0]), r[0]),
+    )
+    run, expect3 = 0, set()
+    for d, t in en3:
+        if run < 700:
+            expect3.add((d, "en"))
+        run += t
+    assert {g for g in got3 if g[1] == "en"} == expect3
+
+
+def test_duplicated_passage_stats(spark):
+    """Boilerplate profiling: a doc assembled from a passage shared with
+    another doc gets dup_ratio ≈ the shared share; a fully unique doc gets
+    0; counts agree with the pure-python winnow() kernel."""
+    from knowledge_graph_rag_spark.operators.fingerprint import (
+        duplicated_passage_stats,
+        winnow,
+    )
+
+    shared = ("the incident response runbook requires rotating every "
+              "credential that the compromised host could read before "
+              "the forensic image is taken")
+    uniq_a = "entirely different prose about parquet row group statistics"
+    uniq_b = "yet another unrelated passage concerning shuffle spill files"
+    rows = [
+        ("d1", shared + " " + uniq_a),
+        ("d2", shared + " " + uniq_b),
+        ("d3", "completely standalone text with no overlap whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.id: r for r in duplicated_passage_stats(
+        df, "doc_id", "text", k=30, window=8).collect()}
+    for d, t in rows:
+        assert got[d].n_fps == len(winnow(t, 30, 8)), d
+    assert got["d3"].n_shared_fps == 0 and got["d3"].dup_ratio == 0.0
+    # the two passage-sharing docs: shared fingerprints are a strict,
+    # non-empty subset
+    for d in ("d1", "d2"):
+        assert 0 < got[d].n_shared_fps < got[d].n_fps
+        assert 0.0 < got[d].dup_ratio < 1.0
+    shared_fps = set(winnow(rows[0][1], 30, 8)) & set(winnow(rows[1][1], 30, 8))
+    assert got["d1"].n_shared_fps == len(shared_fps)
+
+
 def test_winnowing_fingerprints(spark):
     """Rolling-hash winnowing: a doc and its shifted copy share most
     fingerprints (md5 would share none); unrelated docs share ~none; the
