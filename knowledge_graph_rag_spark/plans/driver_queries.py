@@ -2988,27 +2988,32 @@ _ROWS_ONLY = {
 # high_value_except}; events_rollup/pivot cover the cube shape;
 # the TPC-H-style twins of events-table entries are extended-only.
 _DRIVER_ENTRIES: tuple[str, ...] = (
-    # KG / LLM-pipeline / ANN entries first. r05 rotation: curation_funnel
-    # (the last registered entry never driver-executed — r04 verdict #3) and
-    # kg_predicate_summary (new frozen projection closing the kg_triples
-    # oracle gap — r04 verdict #4) rotate IN; template_exploit_preparation /
-    # template_network_topology rotate OUT to extended (both driver-hash-
-    # proven in r04's CORRECTNESS).
+    # KG / LLM-pipeline / ANN entries first. r05 rotation: IN —
+    # curation_funnel (the last registered entry never driver-executed —
+    # r04 verdict #3), kg_predicate_summary (new frozen projection closing
+    # the kg_triples oracle gap — r04 verdict #4), and the four new r05
+    # entries (verified_ngram_pairs / triangle_count_graph /
+    # token_budget_sample_mix: TRUE derived oracles; passage_dup_profile:
+    # frozen). OUT to extended — template_exploit_preparation /
+    # template_network_topology / winnow_passage_pairs / ml_anomaly_flags /
+    # graph_anomaly_detect_all / docpack_attack_surface (every one
+    # driver-hash-proven in r04's CORRECTNESS; the local gate still checks
+    # them all).
     "kg_triples",
     "ngram_jaccard_pairs",
+    "verified_ngram_pairs",
     "knn_bruteforce",
     "ivf_topk_ann",
     "entity_pagerank",
     "minhash_surface_candidates",
     "media_span_manifest",
-    "winnow_passage_pairs",
-    "ml_anomaly_flags",
     "doc_file_sources",
     "kg_node_summary",
     "kg_predicate_summary",
     "curation_funnel",
-    "graph_anomaly_detect_all",
-    "docpack_attack_surface",
+    "triangle_count_graph",
+    "token_budget_sample_mix",
+    "passage_dup_profile",
     # relational / template / text core (r01-r02 green set)
     "top_talkers",
     "attacks_detected",

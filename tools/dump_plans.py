@@ -118,6 +118,26 @@ def main() -> None:
     ))
 
     sections.append((
+        "triangle_count_graph (degree-ordered triangle enumeration)",
+        "Suri-Vassilvitskii shape: canonical undirected edges feed a degree "
+        "aggregation, every edge is oriented low→high (degree, node) rank, "
+        "wedges enumerate only at each edge's low-rank endpoint, and a "
+        "left_semi against the oriented edge set closes them — three hash "
+        "joins + two aggregations, no iteration, and the hub key that would "
+        "curse the last reducer in a naive enumeration never forms.",
+        plan_of(DQ.extended_queries()["triangle_count_graph"](spark, SF)),
+    ))
+
+    sections.append((
+        "token_budget_sample_mix (per-language token-budget selection)",
+        "One Exchange on the language + a per-language sort for the "
+        "exclusive running-sum window (spill-backed state), then the budget "
+        "filter and the mix aggregation — hash-priority order makes the "
+        "kept set partition/cluster/engine-independent.",
+        plan_of(DQ.extended_queries()["token_budget_sample_mix"](spark, SF)),
+    ))
+
+    sections.append((
         "session_counts (gaps-and-islands sessionization)",
         "lag + running-sum island ids share ONE Exchange + sort on "
         "(user_id; ts, event_id) — both Window operators reuse the same "
