@@ -51,30 +51,38 @@ def main() -> None:
     # overheads; k near-dup copies form clusters with k² pairs, measuring
     # the corpus instead of the engine).
     idx = F.col("id")
-    # exact dup: same BASE text as predecessor (id-1 may itself be a near-
-    # dup twin; shift the index before deriving the near-dup base)
-    exact_shift = F.when((idx % 17 == 3) & (idx % 10 != 7), idx - 1).otherwise(idx)
-    corpus_path = f"/tmp/kgrs_curation_corpus_{n_docs}.parquet"
+    # Index resolution, applied in this order so every planted pair really
+    # forms (a near slot's predecessor can be an exact slot and vice versa;
+    # near slots are never adjacent to near slots — i-1 of i≡7 is ≡6):
+    #   1. near slot (i%10==7): the doc mirrors doc i-1's RESOLVED text
+    #   2. exact slot (j%17==3, j not near): the doc copies doc j-1's text
+    #   3. doc j-1 may itself be a near-dup twin → carry its mark
+    near = idx % 10 == 7
+    j = F.when(near, idx - 1).otherwise(idx)
+    ej = F.when((j % 17 == 3) & (j % 10 != 7), j - 1).otherwise(j)
+    b2 = F.when(ej % 10 == 7, ej - 1).otherwise(ej)
+    marked = near | (ej % 10 == 7)
+    # v2: cache key carries a generator version — a stale corpus from an
+    # older generator would otherwise be reused silently (the _SUCCESS
+    # check cannot see code changes)
+    corpus_path = f"/tmp/kgrs_curation_corpus_v2_{n_docs}.parquet"
     import os
 
     if not os.path.exists(corpus_path + "/_SUCCESS"):
         rng = spark.range(n_docs)
-        # recompute words/text against the exact-dup-shifted index
-        b2 = F.when(exact_shift % 10 == 7, exact_shift - 1).otherwise(exact_shift)
         # generation tag keeps the corpus aperiodic: without it, docs
         # 5000 apart get identical word sequences (mod-5000 wheel) and the
         # whole corpus collapses at the exact-dedup stage
         w2 = F.transform(
             F.sequence(F.lit(0), F.lit(29)),
-            lambda j: F.concat(
-                F.lit("w"), ((b2 * 31 + j * 7) % 5000).cast("string"),
-                F.lit("x"), (j % 11).cast("string"),
+            lambda j_: F.concat(
+                F.lit("w"), ((b2 * 31 + j_ * 7) % 5000).cast("string"),
+                F.lit("x"), (j_ % 11).cast("string"),
                 F.lit("g"), F.floor(b2 / 5000).cast("string"),
             ),
         )
         t2 = F.concat_ws(" ", w2)
-        t2 = F.when(exact_shift % 10 == 7,
-                    F.concat(t2, F.lit(" neardupmark"))).otherwise(t2)
+        t2 = F.when(marked, F.concat(t2, F.lit(" neardupmark"))).otherwise(t2)
         rng.select(
             F.concat(F.lit("d"), idx.cast("string")).alias("doc_id"),
             t2.alias("text"),

@@ -104,7 +104,7 @@ Reading the number: this job is a CHAIN of ~dozens of small stages
 stages each), so a fixed per-stage scheduling latency (~0.2-0.5 s) is paid
 serially regardless of core count. The efficiency therefore RISES with
 corpus size as per-stage compute amortizes that latency (measured 0.43 at
-40k docs → see the table above for this run's size); on a long-lived
+40k docs → 0.724 at 300k); on a long-lived
 cluster the equivalent fixed cost is per-stage task dispatch, which is
 amortized the same way by 100 TB-scale partitions. The per-stage shapes
 (hash-partitioned joins, spill-backed aggregations, no driver-side state)

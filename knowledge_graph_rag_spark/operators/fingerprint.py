@@ -111,13 +111,27 @@ def duplicated_passage_stats(
     fp = winnow_fingerprints(df, id_col, text_col, k, window)
     w = Window.partitionBy("fingerprint")
     marked = fp.withColumn("dfp", F.count("*").over(w))
+    stats = marked.groupBy("id").agg(
+        F.count("*").alias("n_fps"),
+        F.sum((F.col("dfp") >= 2).cast("long")).alias("n_shared_fps"),
+    )
+    # docs shorter than k produce ZERO fingerprints and would silently
+    # vanish from a groupBy-only profile — exactly the rows a curation
+    # consumer joins on; keep every input doc with an explicit zero row
     return (
-        marked.groupBy("id")
-        .agg(
-            F.count("*").alias("n_fps"),
-            F.sum((F.col("dfp") >= 2).cast("long")).alias("n_shared_fps"),
+        df.select(F.col(id_col).alias("id"))
+        .join(stats, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_fps", F.lit(0).cast("long")).alias("n_fps"),
+            F.coalesce("n_shared_fps", F.lit(0).cast("long")).alias(
+                "n_shared_fps"
+            ),
         )
         .withColumn(
-            "dup_ratio", F.round(F.col("n_shared_fps") / F.col("n_fps"), 4)
+            "dup_ratio",
+            F.when(F.col("n_fps") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("n_shared_fps") / F.col("n_fps"), 4)
+            ),
         )
     )

@@ -135,6 +135,11 @@ def triangle_count(
             .otherwise(F.col("rank_u"))
             .alias("rank_b"),
         )
+        # oriented is consumed THREE times (both wedge sides + the closing
+        # semi-join): checkpoint it so the degree agg + orientation joins
+        # run once, not per consumer (e's checkpoint alone only dedups the
+        # canonicalization scan)
+        .localCheckpoint(eager=False)
     )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(e2, F.col("e1.a") == F.col("e2.a")).filter(

@@ -66,6 +66,11 @@ def token_budget_sample(
     near the budget line, never reshuffles the whole sample. Strata absent
     from ``budgets`` are kept whole.
 
+    Precondition: ``key_col`` must be unique per row within a stratum
+    (doc ids). Duplicate keys tie in the priority order and their relative
+    placement — hence which of them lands inside the budget — is not
+    deterministic; run dedup_exact (or any key dedup) first.
+
     Scale shape: one Exchange on the stratum + a per-stratum sort (the
     window's spill-backed state) — the same cost class as any global
     ranking; at extreme per-stratum cardinality swap in an approximate
@@ -84,8 +89,13 @@ def token_budget_sample(
     running = F.coalesce(
         F.sum(F.col(tokens_col)).over(w), F.lit(0).cast("long")
     )
+    # collision-proof temp name: withColumn would silently REPLACE (and the
+    # drop then delete) a caller column of the same name
+    tmp = "_prior_tokens"
+    while tmp in df.columns:
+        tmp += "_"
     return (
-        df.withColumn("_prior_tokens", running)
-        .filter(budget.isNull() | (F.col("_prior_tokens") < budget))
-        .drop("_prior_tokens")
+        df.withColumn(tmp, running)
+        .filter(budget.isNull() | (F.col(tmp) < budget))
+        .drop(tmp)
     )
