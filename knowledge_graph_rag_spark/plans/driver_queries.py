@@ -1713,6 +1713,46 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "tfidf_top_terms",
+    """
+    WITH terms AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                  t -> len(t) >= 3)) AS term
+        FROM documents
+      ) GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM terms GROUP BY term
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             round(t.tf * ln(n_docs * 1.0 / d.df), 4) AS score
+      FROM terms t JOIN dfreq d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_entry(spark, sf_dir):
+    """Corpus TF-IDF keywords (operators.keywords.tfidf_top_terms): each
+    doc's top-3 terms by tf·ln(N/df) — the corpus-scale upgrade of the
+    reference's frequency-only keyword op (P8): boilerplate vocabulary
+    drops out of every doc's list without a stopword table. Unbounded
+    vocabulary df table joins on term (never broadcast/collected)."""
+    from ..operators.keywords import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", top_k=3).select(
+        F.col("id").alias("doc_id"), "term", "tf", "df", "score", "rank"
+    )
+
+
+@q(
     "passage_dup_profile",
     # Frozen-literal oracle — regenerated by `tools/freeze_oracles.py
     # passage_dup_profile` (winnowing's rolling-hash fingerprints are not

@@ -545,6 +545,35 @@ def test_token_budget_sample(spark):
     assert {g for g in got3 if g[1] == "en"} == expect3
 
 
+def test_tfidf_top_terms(spark):
+    """TF-IDF keywords: a term present in EVERY doc scores ln(1)=0 and
+    never ranks above a doc-specific term; a doc's planted rare term wins
+    its top slot; scores match a python reference exactly."""
+    import math
+
+    from knowledge_graph_rag_spark.operators.keywords import tfidf_top_terms
+
+    rows = [
+        ("d1", "common filler words plus zebra zebra unique topic"),
+        ("d2", "common filler words plus quasar story detail"),
+        ("d3", "common filler words plus ordinary narrative text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = tfidf_top_terms(df, "doc_id", "text", top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    top1 = {d: sorted(rs, key=lambda r: r.rank)[0] for d, rs in by_doc.items()}
+    assert top1["d1"].term == "zebra" and top1["d1"].tf == 2
+    # d2's unique terms all tie (tf=1, df=1): alphabetical tie-break
+    assert {r.term for r in by_doc["d2"]} == {"detail", "quasar"}
+    assert top1["d2"].term == "detail"
+    # ubiquitous terms (df = N) score 0 and never beat doc-specific terms
+    assert all(r.term not in {"common", "filler", "words", "plus"}
+               for rs in by_doc.values() for r in rs if r.score > 0)
+    assert top1["d1"].score == round(2 * math.log(3 / 1), 4)
+
+
 def test_duplicated_passage_stats(spark):
     """Boilerplate profiling: a doc assembled from a passage shared with
     another doc gets dup_ratio ≈ the shared share; a fully unique doc gets
