@@ -216,3 +216,67 @@ def graph_overview(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         .orderBy(F.desc("count"), "type")
         .limit(10)
     )
+
+
+# --- BM25 document retrieval (RAG grounding over a text corpus) --------------
+
+
+def bm25_topk(
+    docs: DataFrame, query: str, id_col: str = "doc_id",
+    text_col: str = "text", k: int = 10, k1: float = 1.2, b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k documents for ``query`` (Robertson & Zaragoza 2009,
+    the probabilistic-relevance idf: ln(1 + (N-df+0.5)/(df+0.5))) — the
+    standard lexical retriever a RAG grounding layer runs next to the
+    entity/ANN paths. Returns (id, score, rank), scores rounded BEFORE
+    ranking with id tiebreak.
+
+    Scale shape: the exploded token stream is filtered to the QUERY'S terms
+    before any aggregation (a query has a handful of terms, so the tf table
+    is tiny and term df comes from it — broadcast-safe by construction,
+    bounded by |query terms|, never corpus vocabulary); per-doc length and
+    the corpus (N, avgdl) constants are one narrow agg each; final top-k is
+    a rank window. Nothing driver-side except the query string itself."""
+    import re as _re
+
+    from pyspark.sql import Window
+
+    qterms = sorted({t for t in _re.split(r"\W+", query.lower()) if t})
+    if not qterms:
+        raise ValueError("query has no searchable terms")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: t != F.lit("")
+    )
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("w"))
+    lens = base.select("id", F.size("w").alias("dl"))
+    consts = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("id", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(qterms))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "id")
+        .crossJoin(consts)
+        .groupBy("id")
+        .agg(F.round(F.sum(idf * tf_norm), 4).alias("score"))
+    )
+    # distributed top-k (TakeOrderedAndProject) FIRST, then the rank window
+    # runs over only k rows — a global row_number over every matching doc
+    # would single-partition the full candidate set
+    top = scored.orderBy(F.desc("score"), "id").limit(k)
+    w = Window.orderBy(F.desc("score"), "id")
+    return top.withColumn("rank", F.row_number().over(w))

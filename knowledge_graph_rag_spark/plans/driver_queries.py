@@ -1713,6 +1713,60 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "bm25_search_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ), lens AS (
+      SELECT doc_id, len(w) AS dl FROM toks
+    ), consts AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(w) AS term FROM toks
+      ) WHERE term IN ('merge', 'vector', 'stream')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT t.doc_id,
+             round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / avgdl))
+             ), 4) AS score
+      FROM tf t
+      JOIN dfreq USING (term)
+      JOIN lens l ON l.doc_id = t.doc_id
+      CROSS JOIN consts
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+    )
+    """,
+)
+def bm25_search_docs(spark, sf_dir):
+    """Lexical RAG retrieval: Okapi BM25 top-10 documents for the query
+    'merge vector stream' (operators.retrieval.bm25_topk — the
+    standard grounding retriever next to the entity/ANN paths; k1=1.2,
+    b=0.75, probabilistic-relevance idf). The oracle recomputes the full
+    scoring pipeline in DuckDB including the float idf/length-normalization
+    arithmetic."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "merge vector stream", k=10).select(
+        F.col("id").alias("doc_id"), "score", "rank"
+    )
+
+
+@q(
     "tfidf_top_terms",
     """
     WITH terms AS (

@@ -22,6 +22,56 @@ def kg(spark):
     return nodes, edges
 
 
+def test_bm25_topk(spark):
+    """Okapi BM25 retrieval: docs without query terms never appear; a doc
+    matching the RARE query term outranks one matching only the ubiquitous
+    term (idf); score matches a python reference to 1e-9 before rounding."""
+    import math
+
+    from knowledge_graph_rag_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        ("d1", "kernel panic trace kernel dump analysis"),
+        ("d2", "analysis of quarterly revenue and analysis of costs"),
+        ("d3", "gardening tips for growing tomatoes in shade"),
+        ("d4", "analysis analysis analysis analysis analysis analysis"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = bm25_topk(df, "kernel analysis", k=10)
+    got = {r.id: (r.score, r.rank) for r in out.collect()}
+    assert "d3" not in got  # no query term
+    assert got["d1"][1] == 1  # only doc with the rare term 'kernel'
+
+    # python reference for d1
+    texts = {d: t.lower().split() for d, t in rows}
+    N = len(rows)
+    avgdl = sum(len(w) for w in texts.values()) / N
+    k1, b = 1.2, 0.75
+
+    def idf(term):
+        dfreq = sum(1 for w in texts.values() if term in w)
+        return math.log(1 + (N - dfreq + 0.5) / (dfreq + 0.5))
+
+    def score(d):
+        dl = len(texts[d])
+        s = 0.0
+        for term in ("kernel", "analysis"):
+            tf = texts[d].count(term)
+            if tf:
+                s += idf(term) * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl / avgdl)
+                )
+        return round(s, 4)
+
+    for d in ("d1", "d2", "d4"):
+        assert abs(got[d][0] - score(d)) < 1e-9, (d, got[d][0], score(d))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_topk(df, "!!!")
+
+
 def test_entity_search(kg):
     nodes, _ = kg
     hits = R.entity_search(nodes, "acme")
