@@ -1990,6 +1990,56 @@ def verified_ngram_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "benchmark_decontamination",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                      FOR i IN range(1, len(w) - 1) ]) AS shingle
+      FROM w WHERE len(w) >= 3
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    ), stats AS (
+      SELECT doc_id, count(*)::BIGINT AS n_grams,
+             sum(CASE WHEN shingle IN (SELECT shingle FROM bench)
+                      THEN 1 ELSE 0 END)::BIGINT AS n_contaminated
+      FROM sh WHERE doc_id % 97 <> 0
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_contaminated,
+           round(n_contaminated * 1.0 / n_grams, 4) AS contamination_pct,
+           (n_contaminated > 0) AS contaminated
+    FROM stats
+    """,
+)
+def benchmark_decontamination(spark, sf_dir):
+    """Eval-set decontamination (operators.decontam.decontaminate): every
+    corpus document is scored for word n-gram overlap against a benchmark
+    set (here the deterministic doc_id % 97 == 0 slice standing in for an
+    eval suite; n=3 because the synthetic docs are 30 words — production
+    default is the published 13-gram rule). The benchmark gram set is
+    broadcast, so the overlap mark adds zero shuffles beyond the per-doc
+    aggregation; the oracle recomputes the same stats with a DuckDB IN-set
+    over identical grams."""
+    from ..operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    out = decontaminate(corp, bench, id_col="doc_id", text_col="text", n=3)
+    return out.select(
+        "doc_id", "n_grams", "n_contaminated",
+        F.round(F.col("contamination"), 4).alias("contamination_pct"),
+        "contaminated",
+    )
+
+
 # === embeddings: similarity search ===========================================
 
 
