@@ -2040,6 +2040,117 @@ def benchmark_decontamination(spark, sf_dir):
     )
 
 
+@q(
+    "pii_redaction_stats",
+    """
+    WITH planted AS (
+      SELECT doc_id, lang,
+        text || ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.org'
+        || CASE WHEN doc_id % 3 = 0 THEN
+             ' ip 10.' || (doc_id % 256) || '.' || (doc_id % 254 + 1) || '.7'
+           ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN
+             ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN
+             ' card 4111-1111-1111-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN ' tel +1-555-123-4567'
+           ELSE '' END AS t
+      FROM documents
+    ), scored AS (
+      SELECT lang,
+        len(regexp_extract_all(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS email,
+        len(regexp_extract_all(t,
+          '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b')) AS card,
+        len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS ssn,
+        len(regexp_extract_all(t,
+          '\\+\\d{1,3}[- ]\\d{3}[- ]\\d{3}[- ]\\d{2,4}')) AS phone,
+        len(regexp_extract_all(t,
+          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS ipv4,
+        length(t) - length(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b', '<CARD>', 'g'),
+              '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+              '\\+\\d{1,3}[- ]\\d{3}[- ]\\d{3}[- ]\\d{2,4}', '<PHONE>', 'g'),
+              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')
+        ) AS removed
+      FROM planted
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN email + card + ssn + phone + ipv4 > 0
+                    THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+           sum(email)::BIGINT AS emails, sum(card)::BIGINT AS cards,
+           sum(ssn)::BIGINT AS ssns, sum(phone)::BIGINT AS phones,
+           sum(ipv4)::BIGINT AS ipv4s, sum(removed)::BIGINT AS chars_removed
+    FROM scored GROUP BY lang
+    """,
+)
+def pii_redaction_stats(spark, sf_dir):
+    """PII scrubbing audit (functions.pii): per-class regexp counts +
+    class-tagged redaction, all native regexp Column exprs inside one narrow
+    codegen stage — zero shuffles before the per-lang rollup. The synthetic
+    corpus has no natural PII, so both engines plant identical deterministic
+    identifiers (email on every doc; IP / SSN / card / phone on doc_id
+    modulus slices) and the oracle recomputes counts AND the redacted-length
+    delta with RE2 — a TRUE cross-engine check of the patterns themselves
+    (the pattern set is restricted to the Java-regex/RE2-identical subset)."""
+    from ..functions.pii import pii_count_cols, redact_pii_col
+
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), s(d), F.lit("@ex"), s(d % 7), F.lit(".org"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" ip 10."), s(d % 256), F.lit("."),
+                     s(d % 254 + 1), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad(s(d % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" card 4111-1111-1111-"),
+                     F.lpad(s(d % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" tel +1-555-123-4567")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("lang", planted.alias("t"))
+    counts = pii_count_cols(F.col("t"))
+    scored = docs.select(
+        "lang",
+        counts["email"].alias("email"),
+        counts["card"].alias("card"),
+        counts["ssn"].alias("ssn"),
+        counts["phone"].alias("phone"),
+        counts["ipv4"].alias("ipv4"),
+        (F.length("t") - F.length(redact_pii_col(F.col("t")))).alias("removed"),
+    )
+    any_pii = (
+        F.col("email") + F.col("card") + F.col("ssn")
+        + F.col("phone") + F.col("ipv4")
+    ) > 0
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(any_pii, 1).otherwise(0)).alias("docs_with_pii"),
+        F.sum("email").alias("emails"),
+        F.sum("card").alias("cards"),
+        F.sum("ssn").alias("ssns"),
+        F.sum("phone").alias("phones"),
+        F.sum("ipv4").alias("ipv4s"),
+        F.sum("removed").alias("chars_removed"),
+    )
+
+
 # === embeddings: similarity search ===========================================
 
 
