@@ -149,3 +149,59 @@ def triangle_count(
     return wedges.join(closing, ["x", "y"], "left_semi").agg(
         F.count("*").alias("n_triangles")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """``(node_id, degree)`` of the k-core of the undirected simple graph
+    underlying ``edges`` — the maximal subgraph where every node has degree
+    ≥ ``k`` (Seidman 1983); ``degree`` is the node's degree WITHIN the core.
+
+    Shape: synchronous iterative peeling — each round computes degrees (one
+    union + one hash aggregation), finds sub-``k`` nodes, and drops their
+    edges with two shuffled anti-joins (never broadcast: the first rounds can
+    peel a large fraction of the graph, so the bad set is unbounded). Every
+    round eagerly ``localCheckpoint``s both the bad set (consumed by two
+    anti-joins AND the isEmpty convergence probe — one materialization, three
+    consumers) and the pruned edge set (truncates the growing lineage — the
+    classic iterative-DataFrame trap; same hygiene as ``pagerank``, blocks
+    reclaimed by the ContextCleaner, nothing left pinned). Rounds are bounded
+    by the peel depth of the graph (≤ its degeneracy ordering depth, usually
+    a handful) and hard-capped at ``max_iter``; if the cap is hit the result
+    is the partially-peeled graph's degrees (documented, not silent — the
+    convergence probe simply didn't reach a fixpoint within budget).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(edge_df: DataFrame) -> DataFrame:
+        return (
+            edge_df.select(F.col("u").alias("n"))
+            .unionAll(edge_df.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+
+    deg = degrees(e)
+    for _ in range(max_iter):
+        bad = deg.filter(F.col("d") < k).select("n").localCheckpoint(eager=True)
+        if bad.isEmpty():
+            break
+        e = (
+            e.join(bad.withColumnRenamed("n", "u"), "u", "left_anti")
+            .join(bad.withColumnRenamed("n", "v"), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        deg = degrees(e)
+    return deg.select(F.col("n").alias("node_id"), F.col("d").alias("degree"))

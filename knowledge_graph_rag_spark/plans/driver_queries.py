@@ -2151,6 +2151,103 @@ def pii_redaction_stats(spark, sf_dir):
     )
 
 
+@q(
+    "kcore_membership",
+    """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(l_orderkey % 30000, l_partkey % 30000) AS u,
+                  greatest(l_orderkey % 30000, l_partkey % 30000) AS v
+  FROM lineitem
+  WHERE l_orderkey % 30000 <> l_partkey % 30000 AND l_suppkey % 3 = 0
+), b0 AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT n, count(*) AS d FROM (
+      SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0
+    ) GROUP BY n
+  ) WHERE d < 3
+), e1 AS MATERIALIZED (
+  SELECT u, v FROM e0
+  WHERE u NOT IN (SELECT n FROM b0) AND v NOT IN (SELECT n FROM b0)
+), b1 AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT n, count(*) AS d FROM (
+      SELECT u AS n FROM e1 UNION ALL SELECT v AS n FROM e1
+    ) GROUP BY n
+  ) WHERE d < 3
+), e2 AS MATERIALIZED (
+  SELECT u, v FROM e1
+  WHERE u NOT IN (SELECT n FROM b1) AND v NOT IN (SELECT n FROM b1)
+), b2 AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT n, count(*) AS d FROM (
+      SELECT u AS n FROM e2 UNION ALL SELECT v AS n FROM e2
+    ) GROUP BY n
+  ) WHERE d < 3
+), e3 AS MATERIALIZED (
+  SELECT u, v FROM e2
+  WHERE u NOT IN (SELECT n FROM b2) AND v NOT IN (SELECT n FROM b2)
+), b3 AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT n, count(*) AS d FROM (
+      SELECT u AS n FROM e3 UNION ALL SELECT v AS n FROM e3
+    ) GROUP BY n
+  ) WHERE d < 3
+), e4 AS MATERIALIZED (
+  SELECT u, v FROM e3
+  WHERE u NOT IN (SELECT n FROM b3) AND v NOT IN (SELECT n FROM b3)
+), b4 AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT n, count(*) AS d FROM (
+      SELECT u AS n FROM e4 UNION ALL SELECT v AS n FROM e4
+    ) GROUP BY n
+  ) WHERE d < 3
+), e5 AS MATERIALIZED (
+  SELECT u, v FROM e4
+  WHERE u NOT IN (SELECT n FROM b4) AND v NOT IN (SELECT n FROM b4)
+), b5 AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT n, count(*) AS d FROM (
+      SELECT u AS n FROM e5 UNION ALL SELECT v AS n FROM e5
+    ) GROUP BY n
+  ) WHERE d < 3
+), e6 AS MATERIALIZED (
+  SELECT u, v FROM e5
+  WHERE u NOT IN (SELECT n FROM b5) AND v NOT IN (SELECT n FROM b5)
+), b6 AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT n, count(*) AS d FROM (
+      SELECT u AS n FROM e6 UNION ALL SELECT v AS n FROM e6
+    ) GROUP BY n
+  ) WHERE d < 3
+), e7 AS MATERIALIZED (
+  SELECT u, v FROM e6
+  WHERE u NOT IN (SELECT n FROM b6) AND v NOT IN (SELECT n FROM b6)
+)
+SELECT n AS node_id, count(*)::BIGINT AS degree FROM (
+  SELECT u AS n FROM e7 UNION ALL SELECT v AS n FROM e7
+) GROUP BY n
+    """,
+)
+def kcore_membership(spark, sf_dir):
+    """k-core decomposition (operators.graphalgs.kcore): iterative peeling
+    until every surviving node has degree >= k, over a deterministic sparse
+    projection of lineitem (order/part keys mod 30000, 1-in-3 edge sample —
+    chosen so the peel CASCADES: 5 rounds at sf0.01, a real fixpoint
+    iteration, not a single filter). The oracle unrolls 7 peel rounds as
+    MATERIALIZED CTEs (inlined CTEs re-expand the scan ~5x per round); 7 > 5
+    is convergence margin, and under-unrolling cannot silently pass — a
+    non-converged oracle would hash-mismatch the run-to-fixpoint Spark
+    result. degree is the in-core degree, so the whole peel trajectory is
+    pinned, not just membership."""
+    from ..operators.graphalgs import kcore
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 3 == 0)
+    edges = li.select(
+        (F.col("l_orderkey") % 30000).alias("src"),
+        (F.col("l_partkey") % 30000).alias("dst"),
+    )
+    return kcore(edges, k=3)
+
+
 # === embeddings: similarity search ===========================================
 
 

@@ -255,3 +255,78 @@ def test_pagerank_leaves_no_pinned_storage(spark):
             break
         time.sleep(0.5)
     assert not (pinned_ids() & created)
+
+
+def test_kcore_vs_python_peel(spark):
+    """kcore equals the sequential peeling algorithm (node set AND in-core
+    degrees) on: a clique+pendant-chain graph where peeling must CASCADE
+    (removing the chain tail drops the next node below k, round after
+    round), a graph whose k-core is empty (tree), and a seeded random graph
+    near the critical density; robust to duplicate/reversed/self-loop
+    edges."""
+    import random
+    from collections import defaultdict
+
+    from knowledge_graph_rag_spark.operators.graphalgs import kcore
+
+    def peel(edge_list, k):
+        adj = defaultdict(set)
+        for u, v in edge_list:
+            if u != v:
+                adj[u].add(v)
+                adj[v].add(u)
+        while True:
+            bad = [n for n, s in adj.items() if len(s) < k]
+            if not bad:
+                return {(n, len(s)) for n, s in adj.items()}
+            for n in bad:
+                for nb in adj[n]:
+                    if nb in adj:
+                        adj[nb].discard(n)
+                del adj[n]
+
+    k4 = [(a, b) for a, b in __import__("itertools").combinations("abcd", 2)]
+    # pendant chain off the clique: e-f-g-h peels one node per round
+    chain = k4 + [("d", "e"), ("e", "f"), ("f", "g"), ("g", "h")]
+    tree = [("a", "b"), ("a", "c"), ("b", "d"), ("b", "e"), ("c", "f")]
+    random.seed(17)
+    rnd = [
+        (f"n{random.randrange(40)}", f"n{random.randrange(40)}")
+        for _ in range(70)
+    ]
+    noisy = chain + [(b, a) for a, b in chain] + [("a", "a")] + chain[:3]
+    for edge_list, k in ((chain, 2), (chain, 3), (tree, 2), (rnd, 2), (rnd, 3), (noisy, 3)):
+        df = spark.createDataFrame(edge_list, "src string, dst string")
+        got = {(r.node_id, r.degree) for r in kcore(df, k).collect()}
+        assert got == peel(edge_list, k), (k, edge_list[:4])
+
+
+def test_kcore_leaves_no_pinned_storage(spark):
+    """Same localCheckpoint hygiene contract as pagerank: nothing kcore
+    pinned may survive the caller dropping the result."""
+    import gc
+    import time
+
+    from knowledge_graph_rag_spark.operators.graphalgs import kcore
+
+    def pinned_ids() -> set:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = pinned_ids()
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    res = kcore(edges, 2)
+    res.collect()
+    created = pinned_ids() - before
+    assert created
+    del res
+    for _ in range(60):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if not (pinned_ids() & created):
+            break
+        time.sleep(0.5)
+    assert not (pinned_ids() & created)
