@@ -2248,6 +2248,96 @@ def kcore_membership(spark, sf_dir):
     return kcore(edges, k=3)
 
 
+@q(
+    "dup_cluster_components",
+    """
+    WITH sh0 AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+               FOR i IN range(1, len(w) - 1) ]) AS shingle
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                               x -> x <> '') AS w
+            FROM documents) WHERE len(w) >= 3
+    ), sh AS MATERIALIZED (
+      SELECT doc_id, shingle FROM sh0
+      WHERE shingle IN (SELECT shingle FROM sh0
+                        GROUP BY shingle HAVING count(*) <= 100)
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS isect
+      FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS MATERIALIZED (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE isect * 1.0 / (sa.sz + sb.sz - isect) >= 0.03
+    ), sym AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT u AS n, u AS l FROM sym
+    ), l1 AS MATERIALIZED (
+      SELECT n, min(l) AS l FROM (
+        SELECT n, l FROM l0
+        UNION ALL
+        SELECT s.u AS n, b.l AS l FROM sym s JOIN l0 b ON b.n = s.v
+      ) GROUP BY n
+    ), l2 AS MATERIALIZED (
+      SELECT n, min(l) AS l FROM (
+        SELECT n, l FROM l1
+        UNION ALL
+        SELECT s.u AS n, b.l AS l FROM sym s JOIN l1 b ON b.n = s.v
+      ) GROUP BY n
+    ), l3 AS MATERIALIZED (
+      SELECT n, min(l) AS l FROM (
+        SELECT n, l FROM l2
+        UNION ALL
+        SELECT s.u AS n, b.l AS l FROM sym s JOIN l2 b ON b.n = s.v
+      ) GROUP BY n
+    ), l4 AS MATERIALIZED (
+      SELECT n, min(l) AS l FROM (
+        SELECT n, l FROM l3
+        UNION ALL
+        SELECT s.u AS n, b.l AS l FROM sym s JOIN l3 b ON b.n = s.v
+      ) GROUP BY n
+    ), l5 AS MATERIALIZED (
+      SELECT n, min(l) AS l FROM (
+        SELECT n, l FROM l4
+        UNION ALL
+        SELECT s.u AS n, b.l AS l FROM sym s JOIN l4 b ON b.n = s.v
+      ) GROUP BY n
+    )
+    SELECT n AS doc_id, l AS component,
+           count(*) OVER (PARTITION BY l)::BIGINT AS cluster_size
+    FROM l5
+    """,
+)
+def dup_cluster_components(spark, sf_dir):
+    """Near-dup CLUSTERING — the step curation runs between candidate pairs
+    and representative selection: library ngram_jaccard_pairs (df-capped
+    trigram Jaccard, loose 0.03 threshold so chains form) feeds
+    canonicalize.connected_components (min-label propagation), giving every
+    clustered doc its component representative (min doc_id) and cluster
+    size. This driver-pins the CC operator itself — previously pytest-only —
+    via an oracle that unrolls 5 MATERIALIZED min-label-propagation rounds
+    in DuckDB (fixpoint needs 2 at sf0.01; under-unrolling cannot silently
+    pass, it would hash-mismatch the run-to-fixpoint Spark labels)."""
+    from ..operators.canonicalize import connected_components
+    from ..operators.dedup import ngram_jaccard_pairs as lib_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lib_pairs(
+        docs, id_col="doc_id", text_col="text",
+        n=3, threshold=0.03, max_df=100,
+    ).select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    cc = connected_components(pairs)
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
 # === embeddings: similarity search ===========================================
 
 
