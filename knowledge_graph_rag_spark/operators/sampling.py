@@ -99,3 +99,44 @@ def token_budget_sample(
         .filter(budget.isNull() | (F.col(tmp) < budget))
         .drop(tmp)
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    split_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic n-way corpus split: every row gets a ``split_col`` label
+    ('train'/'val'/'test' by default) decided purely by the md5 bucket of
+    (salt + key) against cumulative-weight thresholds.
+
+    Properties a training pipeline actually needs and ``randomSplit`` lacks:
+    - partition/cluster-size independent (randomSplit reshuffles assignment
+      when the partition layout changes);
+    - append-stable: adding documents later never reassigns existing ones,
+      so the eval set stays fixed across corpus versions;
+    - engine-agnostic (DuckDB md5 agrees bit-for-bit — oracle-pinned);
+    - re-rollable via ``salt`` without touching the key.
+
+    Weights are assigned cumulatively in dict order; the LAST split absorbs
+    the rounding remainder (all 65536 buckets are always covered). A pure
+    row-level projection: no shuffle, no state.
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(cum * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(split_col, expr.otherwise(names[-1]))

@@ -2338,6 +2338,36 @@ def dup_cluster_components(spark, sf_dir):
     )
 
 
+@q(
+    "train_val_test_stats",
+    """
+    WITH b AS (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 58982 THEN 'train'
+                WHEN bucket < 62259 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
+    FROM b GROUP BY 1, 2
+    """,
+)
+def train_val_test_stats(spark, sf_dir):
+    """Deterministic corpus split audit (operators.sampling.
+    train_val_test_split): 90/5/5 by md5 bucket of doc_id — partition-
+    independent and append-stable (adding docs never reassigns existing
+    ones), unlike randomSplit. Pure projection + one rollup; the oracle
+    recomputes the same bucket thresholds from DuckDB's bit-identical md5."""
+    from ..operators.sampling import train_val_test_split
+
+    docs = train_val_test_split(_t(spark, sf_dir, "documents"), "doc_id")
+    return docs.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
 # === embeddings: similarity search ===========================================
 
 

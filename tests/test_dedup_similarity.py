@@ -876,3 +876,48 @@ def test_ivfpq_recall_and_compression(spark, tmp_path):
         len(rr.get(q, set()) & e[q]) / len(e[q]) for q in e
     ) / len(e)
     assert rerank_recall >= mean_recall
+
+
+def test_train_val_test_split_semantics(spark):
+    """Split is disjoint+exhaustive, ~matches weights, is stable under
+    repartitioning AND under corpus growth (append-stability), and re-rolls
+    with salt."""
+    from knowledge_graph_rag_spark.operators import sampling as SP
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = SP.train_val_test_split(df, "doc_id")
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert set(rows.values()) == {"train", "val", "test"}
+    n = len(rows)
+    frac = {s: sum(1 for v in rows.values() if v == s) / n for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.9) < 0.03
+    assert abs(frac["val"] - 0.05) < 0.02 and abs(frac["test"] - 0.05) < 0.02
+
+    # partition-layout independence
+    rows2 = {
+        r.doc_id: r.split
+        for r in SP.train_val_test_split(df.repartition(13), "doc_id").collect()
+    }
+    assert rows2 == rows
+
+    # append-stability: growing the corpus never reassigns existing docs
+    grown = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    rows3 = {r.doc_id: r.split for r in SP.train_val_test_split(grown, "doc_id").collect()}
+    assert all(rows3[k] == v for k, v in rows.items())
+
+    # salt re-rolls assignment
+    salted = {
+        r.doc_id: r.split
+        for r in SP.train_val_test_split(df, "doc_id", salt="v2").collect()
+    }
+    assert salted != rows
+
+    # custom weights follow dict order; bad weights rejected
+    two = SP.train_val_test_split(
+        df, "doc_id", weights={"fit": 0.5, "holdout": 0.5}
+    )
+    assert set(r.split for r in two.collect()) == {"fit", "holdout"}
+    with pytest.raises(ValueError):
+        SP.train_val_test_split(df, "doc_id", weights={"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError):
+        SP.train_val_test_split(df, "doc_id", weights={"a": 1.0})
