@@ -3460,27 +3460,31 @@ _ROWS_ONLY = {
 # high_value_except}; events_rollup/pivot cover the cube shape;
 # the TPC-H-style twins of events-table entries are extended-only.
 _DRIVER_ENTRIES: tuple[str, ...] = (
-    # KG / LLM-pipeline / ANN entries first. r05 rotation: IN —
-    # curation_funnel (the last registered entry never driver-executed —
-    # r04 verdict #3), kg_predicate_summary (new frozen projection closing
-    # the kg_triples oracle gap — r04 verdict #4), and the four new r05
-    # entries (verified_ngram_pairs / triangle_count_graph /
-    # token_budget_sample_mix: TRUE derived oracles; passage_dup_profile:
-    # frozen). OUT to extended — template_exploit_preparation /
-    # template_network_topology / winnow_passage_pairs / ml_anomaly_flags /
-    # graph_anomaly_detect_all / docpack_attack_surface (every one
-    # driver-hash-proven in r04's CORRECTNESS; the local gate still checks
-    # them all).
+    # KG / LLM-pipeline / ANN entries first. r05 rotation (second pass): IN —
+    # curation_funnel + kg_predicate_summary + the four early-r05 entries
+    # (see git history), THEN the seven late-r05 additions, none of which
+    # had ever been driver-hash-verified: bm25_search_docs, tfidf_top_terms,
+    # benchmark_decontamination, pii_redaction_stats, kcore_membership,
+    # dup_cluster_components, train_val_test_stats (all TRUE cross-engine
+    # oracles). OUT to extended — template_* / winnow_passage_pairs /
+    # ml_anomaly_flags / graph_anomaly_detect_all / docpack_attack_surface
+    # (first pass), then ivf_topk_ann / entity_pagerank /
+    # minhash_surface_candidates / media_span_manifest / doc_file_sources /
+    # kg_node_summary / hash_sampled_docs (second pass — every one
+    # driver-hash-proven in r04's CORRECTNESS, and train_val_test_stats
+    # pins the same md5-bucket machinery hash_sampled_docs did; the local
+    # gate still checks them all).
     "kg_triples",
     "ngram_jaccard_pairs",
     "verified_ngram_pairs",
     "knn_bruteforce",
-    "ivf_topk_ann",
-    "entity_pagerank",
-    "minhash_surface_candidates",
-    "media_span_manifest",
-    "doc_file_sources",
-    "kg_node_summary",
+    "bm25_search_docs",
+    "tfidf_top_terms",
+    "benchmark_decontamination",
+    "pii_redaction_stats",
+    "kcore_membership",
+    "dup_cluster_components",
+    "train_val_test_stats",
     "kg_predicate_summary",
     "curation_funnel",
     "triangle_count_graph",
@@ -3520,7 +3524,6 @@ _DRIVER_ENTRIES: tuple[str, ...] = (
     "doc_fingerprints",
     "repetition_ratio",
     "gopher_quality_flags",
-    "hash_sampled_docs",
     "bpe_token_counts",
 )
 
