@@ -345,3 +345,41 @@ def test_global_windows_only_above_aggregates(spark):
         exch = [i for i, ln in enumerate(tree) if "Exchange" in ln]
         assert exch, plan[:1500]
         assert any("HashAggregate" in ln for ln in tree[exch[0]:]), plan[:2000]
+
+
+def test_pii_scrub_is_narrow_single_shuffle(spark):
+    """PII counting + redaction must stay one narrow codegen stage: every
+    regexp is a native Column expr, so the only Exchange in the audit rollup
+    is the final per-lang aggregation — no Python eval, no join, ever."""
+    import re
+
+    from knowledge_graph_rag_spark.functions.pii import pii_doc_cols
+
+    df = spark.createDataFrame(
+        [(i, "en", f"user{i}@example.com calls +1-555-123-4567") for i in range(20)],
+        "doc_id long, lang string, text string",
+    )
+    scored = df.withColumns(pii_doc_cols(F.col("text")))
+    agg = scored.groupBy("lang").agg(F.sum("pii_total").alias("t"))
+    plan = _plan(agg)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:1500]
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert bad not in plan, (bad, plan[:1500])
+
+
+def test_decontaminate_overlap_mark_is_broadcast(spark):
+    """The benchmark-overlap mark must be a broadcast join (the benchmark is
+    an eval suite, bounded): no SortMergeJoin / shuffled hash join of the
+    corpus shingle stream against the benchmark grams."""
+    from knowledge_graph_rag_spark.operators.decontam import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    plan = _plan(decontaminate(corpus, bench, n=3))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]

@@ -145,6 +145,68 @@ def main() -> None:
         plan_of(DQ.session_counts(spark, SF)),
     ))
 
+    sections.append((
+        "benchmark_decontamination (eval-set n-gram overlap)",
+        "Corpus shingles are marked against the benchmark gram set with a "
+        "BROADCAST left join (an eval suite is bounded; distinct benchmark "
+        "grams mean each corpus shingle matches at most one row — no "
+        "hot-key blow-up), so the only shuffles are the two shingle "
+        "distincts and the per-doc rollup. Both doc_id % 97 slice filters "
+        "are pushed into the parquet scans (DataFilters).",
+        plan_of(DQ.extended_queries()["benchmark_decontamination"](spark, SF)),
+    ))
+
+    sections.append((
+        "pii_redaction_stats (regexp count + redact, per-lang rollup)",
+        "Every PII pattern is a native regexp Column expr, so detection AND "
+        "redaction sit in ONE narrow codegen stage over the scan; the "
+        "single Exchange is the per-language aggregation. No Python eval, "
+        "no join — the shape a 100 TB scrub pass needs.",
+        plan_of(DQ.extended_queries()["pii_redaction_stats"](spark, SF)),
+    ))
+
+    def _kcore_one_round(spark, sf):
+        """One peel round of operators.graphalgs.kcore, pre-checkpoint (the
+        eager per-round checkpoints hide the shape from the converged
+        result's plan)."""
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(
+            F.col("l_suppkey") % 3 == 0
+        )
+        e = (
+            li.select(
+                (F.col("l_orderkey") % 30000).alias("u"),
+                (F.col("l_partkey") % 30000).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        bad = deg.filter(F.col("d") < 3).select("n")
+        return e.join(bad.withColumnRenamed("n", "u"), "u", "left_anti").join(
+            bad.withColumnRenamed("n", "v"), "v", "left_anti"
+        )
+
+    sections.append((
+        "kcore — ONE peel round, pre-checkpoint",
+        "Per round: one union + hash aggregation for degrees, then two "
+        "anti-joins dropping sub-k endpoints. The bad set carries NO "
+        "broadcast hint — first rounds can peel a large graph fraction, so "
+        "the choice is left to Catalyst's size estimate: at this dump's "
+        "tiny SF it auto-broadcasts (correct here), at scale the same plan "
+        "falls back to shuffled anti-joins on the endpoint keys. The "
+        "per-round eager localCheckpoint truncates lineage so round r+1 "
+        "plans O(1) work, not O(r).",
+        plan_of(_kcore_one_round(spark, SF)),
+    ))
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (`explain(\"formatted\")`)\n\n"
