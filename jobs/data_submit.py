@@ -41,6 +41,16 @@ def main() -> None:
                     help="confirm near-dup candidates by exact word-3-gram "
                     "Jaccard >= this before dropping (unset = drop on "
                     "unverified candidates, the pre-r05 behavior)")
+    ap.add_argument("--decontam-benchmark", default=None,
+                    help="parquet dir/file with (doc_id, text) benchmark/"
+                    "eval docs: adds the decontam stage (drop corpus docs "
+                    "with any n-gram overlap)")
+    ap.add_argument("--decontam-ngram", type=int, default=13,
+                    help="n-gram size for decontamination (published "
+                    "default 13)")
+    ap.add_argument("--pii-scrub", action="store_true",
+                    help="redact PII in text (class tokens like <EMAIL>) "
+                    "after the quality gate, before sampling/token stats")
     ap.add_argument("--sample-fraction", type=float, default=1.0)
     ap.add_argument("--lang-fractions", default=None,
                     help="language-stratified sampling, e.g. 'en=0.3,de=1.0' "
@@ -68,6 +78,12 @@ def main() -> None:
         lang_fractions=lang_fractions,
         near_dup_strategy=args.near_dup,
         near_dup_verify_threshold=args.near_dup_verify_threshold,
+        benchmark=(
+            spark.read.parquet(args.decontam_benchmark)
+            if args.decontam_benchmark else None
+        ),
+        decontam_ngram=args.decontam_ngram,
+        pii_scrub=args.pii_scrub,
     )
     print(json.dumps({
         "run_id": res.run_id,

@@ -103,6 +103,9 @@ def curate(
     lang_fractions: dict[str, float] | None = None,
     near_dup_strategy: str = "minhash",
     near_dup_verify_threshold: float | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = 13,
+    pii_scrub: bool = False,
 ) -> CurationResult:
     """Run the curation chain over ``docs`` (doc_id, text, …). Stage outputs
     land as ``dp_<dataset_id>_<stage>`` snapshots; re-running with the same
@@ -118,7 +121,19 @@ def curate(
 
     ``near_dup_verify_threshold``: exact-Jaccard confirmation of near-dup
     candidates before any document is dropped (see _near_dup_drop_ids) —
-    an unverified banding collision otherwise deletes a good doc forever."""
+    an unverified banding collision otherwise deletes a good doc forever.
+
+    ``benchmark``: when given, an opt-in ``decontam`` stage (between
+    near-dedup and quality) drops every doc with ANY word
+    ``decontam_ngram``-gram overlap against the benchmark/eval frame
+    (operators.decontam.decontaminate — broadcast overlap mark, the
+    published 13-gram rule by default). ``pii_scrub=True`` adds an opt-in
+    ``pii_scrub`` stage after quality that REPLACES ``text`` with its
+    class-token redaction (functions.pii.redact_pii_col — one narrow
+    codegen stage) so token stats and everything downstream see scrubbed
+    text. Both knobs join the config fingerprint only when set, so legacy
+    datasets resume under default knobs without a config-mismatch refusal
+    (same pattern as ``near_dup_verify_threshold``)."""
     res = CurationResult(run_id=run_id)
     metrics_rows: list[tuple] = []
 
@@ -141,12 +156,15 @@ def curate(
     cfg = repr((near_dup_max_dist, sample_fraction,
                 sorted((lang_fractions or {}).items()), near_dup_strategy)
                + ((near_dup_verify_threshold,)
-                  if near_dup_verify_threshold is not None else ()))
+                  if near_dup_verify_threshold is not None else ())
+               + (("decontam", decontam_ngram)
+                  if benchmark is not None else ())
+               + (("pii_scrub",) if pii_scrub else ()))
     cfg_key = _hl.md5(cfg.encode()).hexdigest()[:12]
     any_done = any(
         store.is_done(f"dp_{s}", dataset_id)
-        for s in ("exact_dedup", "near_dedup", "quality", "sample",
-                  "token_stats")
+        for s in ("exact_dedup", "near_dedup", "decontam", "quality",
+                  "pii_scrub", "sample", "token_stats")
     )
     slot = store.stage_meta("dp_config", dataset_id)
     if any_done and slot is not None and slot.get("cfg_key") != cfg_key:
@@ -189,21 +207,54 @@ def curate(
         ),
     )
 
+    cur = near
+    if benchmark is not None:
+
+        def compute_decontam():
+            from ..operators.decontam import decontaminate
+
+            drop = decontaminate(
+                near, benchmark, id_col="doc_id", text_col="text",
+                n=decontam_ngram,
+            ).filter(F.col("contaminated")).select("doc_id")
+            return near.join(drop, "doc_id", "left_anti")
+
+        cur = stage("decontam", compute_decontam)
+
+    pre_quality = cur
+
     def compute_quality():
         from ..functions.text import gopher_quality_cols
 
         q = gopher_quality_cols(F.col("text"))
-        return near.withColumn("keep", q["keep"]).filter("keep").drop("keep")
+        return (
+            pre_quality.withColumn("keep", q["keep"]).filter("keep")
+            .drop("keep")
+        )
 
     quality = stage("quality", compute_quality)
 
+    cur = quality
+    if pii_scrub:
+
+        def compute_pii():
+            from ..functions.pii import redact_pii_col
+
+            return quality.withColumn("text", redact_pii_col(F.col("text")))
+
+        cur = stage("pii_scrub", compute_pii)
+
+    pre_sample = cur
+
     def compute_sample():
         if lang_fractions is None:
-            return hash_sample(quality, "doc_id", sample_fraction)
+            return hash_sample(pre_sample, "doc_id", sample_fraction)
         from ..functions.text import language_id_col
         from ..operators.sampling import stratified_hash_sample
 
-        with_lang = quality.withColumn("lang", language_id_col(F.col("text")))
+        with_lang = pre_sample.withColumn(
+            "lang", language_id_col(F.col("text"))
+        )
         return stratified_hash_sample(
             with_lang, "doc_id", "lang", lang_fractions,
             default_fraction=sample_fraction,

@@ -662,3 +662,64 @@ def test_curation_config_slot_edge_cases(spark, tmp_path):
                           near_dup_strategy="none")
     assert not res.stages_run                      # resumed
     assert store2.stage_meta("dp_config", "lg")    # slot adopted
+
+
+def test_curation_decontam_and_pii_stages(spark, tmp_path):
+    """Opt-in decontam + pii_scrub stages: a doc sharing n-grams with the
+    benchmark frame is dropped BEFORE quality; surviving text is redacted
+    (class tokens) before sampling/token stats; same-knob rerun fully
+    resumes; changing knobs on a curated dataset refuses (config guard)."""
+    import pytest as _pytest
+
+    from knowledge_graph_rag_spark.plans import datapipe
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    bench_txt = ("benchmark evaluation question about spark adaptive "
+                 "execution plans and shuffle partition tuning")
+    rows = [
+        ("d01", "the quick brown fox jumps over the lazy dog near the "
+                "river bank while herons watch from the reeds"),
+        # contains a full benchmark span -> decontam drop
+        ("d02", "leaked copy of the benchmark evaluation question about "
+                "spark adaptive execution plans for training"),
+        ("d03", "contact the maintainer at owner@example.org for any "
+                "questions about this plainly written document"),
+        ("d04", "a completely separate document describing parquet row "
+                "groups and predicate pushdown in steady prose"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("b1", bench_txt)], "doc_id string, text string"
+    )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    res = datapipe.curate(
+        spark, docs, store, dataset_id="dc", run_id="r1",
+        near_dup_max_dist=0.2, benchmark=bench, decontam_ngram=3,
+        pii_scrub=True,
+    )
+    assert res.stages_run == [
+        "exact_dedup", "near_dedup", "decontam", "quality", "pii_scrub",
+        "sample", "token_stats",
+    ]
+    decon = {r.doc_id for r in store.read("dp_dc_decontam").collect()}
+    assert "d02" not in decon and {"d01", "d03", "d04"} <= decon
+    scrubbed = {r.doc_id: r.text for r in store.read("dp_dc_sample").collect()}
+    assert "<EMAIL>" in scrubbed["d03"]
+    assert "owner@example.org" not in scrubbed["d03"]
+    assert scrubbed["d01"] == dict(rows)["d01"]  # clean docs untouched
+    assert set(
+        r.doc_id for r in store.read("dp_dc_token_stats").collect()
+    ) == set(scrubbed)
+
+    # same-knob rerun: full resume, identical counts
+    res2 = datapipe.curate(
+        spark, docs, store, dataset_id="dc", run_id="r2",
+        near_dup_max_dist=0.2, benchmark=bench, decontam_ngram=3,
+        pii_scrub=True,
+    )
+    assert not res2.stages_run and res2.counts == res.counts
+
+    # knob change on a curated dataset refuses instead of silently skipping
+    with _pytest.raises(ValueError, match="different"):
+        datapipe.curate(spark, docs, store, dataset_id="dc", run_id="r3",
+                        near_dup_max_dist=0.2)
