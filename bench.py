@@ -37,6 +37,11 @@ HEADLINE = [
     "exact_dedup_by_source",
     "ngram_jaccard_pairs",
     "knn_bruteforce",
+    # r05 second pass: the two new scan-shaped operator families join the
+    # headline (decontam: shingle+broadcast overlap; pii: pure regexp scan).
+    # Totals grow with coverage — compare per-query values across rounds.
+    "benchmark_decontamination",
+    "pii_redaction_stats",
 ]
 
 
