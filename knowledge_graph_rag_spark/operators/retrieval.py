@@ -280,3 +280,90 @@ def bm25_topk(
     top = scored.orderBy(F.desc("score"), "id").limit(k)
     w = Window.orderBy(F.desc("score"), "id")
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def chunk_words_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    chunk_size: int = 12,
+) -> DataFrame:
+    """``(id, chunk_id, chunk_text)`` — non-overlapping ``chunk_size``-word
+    windows, all native (split → sequence → slice → posexplode, no UDF).
+    The token array is materialized as a projected column before the
+    per-chunk lambda reads it (the HOF-lambda re-evaluation trap — see
+    dedup.word_shingles)."""
+    w = F.filter(F.split(F.col(text_col), r"\W+"), lambda t: t != F.lit(""))
+    base = docs.select(F.col(id_col).alias("id"), w.alias("w")).filter(
+        F.size("w") > 0
+    )
+    n_chunks = F.ceil(F.size("w") / F.lit(chunk_size)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("w"), i * chunk_size + 1, chunk_size)
+        ),
+    )
+    return base.select("id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+
+
+def assemble_context(
+    docs: DataFrame, query: str, id_col: str = "doc_id",
+    text_col: str = "text", k: int = 5, chunk_size: int = 12,
+    window: int = 1, k1: float = 1.2, b: float = 0.75,
+) -> DataFrame:
+    """RAG context assembly: BM25-score fixed word chunks against ``query``,
+    take the top-``k`` chunks, widen each hit by ``window`` neighboring
+    chunks of the same document (retrieval hits are usually mid-thought —
+    the neighbor expansion is what grounding prompts actually consume), and
+    merge per document. Returns one row per document contributing chunks:
+    ``(id_col, best_rank, best_score, n_chunks, context)`` with ``context``
+    the chunk texts joined in position order.
+
+    Scale shape: chunking + scoring inherit bm25_topk's bounds (tf table
+    bounded by |query terms|); the hit set is k rows, so the neighbor
+    expansion is a BROADCAST range join against the chunk table and the
+    final merge aggregates at most k*(2*window+1) rows. Composite chunk key
+    is ``doc:chunk`` (string) so the library retriever is reused unchanged;
+    ranking ties therefore break on that string, mirrored in the oracle."""
+    chunks = chunk_words_df(docs, id_col, text_col, chunk_size)
+    keyed = chunks.select(
+        F.concat(
+            F.col("id").cast("string"), F.lit(":"),
+            F.col("chunk_id").cast("string"),
+        ).alias("ck"),
+        F.col("chunk_text").alias("text"),
+    )
+    hits = bm25_topk(
+        keyed, query, id_col="ck", text_col="text", k=k, k1=k1, b=b
+    ).select(
+        F.split(F.col("id"), ":").getItem(0).alias("hit_doc"),
+        F.split(F.col("id"), ":").getItem(1).cast("int").alias("hit_chunk"),
+        "score", "rank",
+    )
+    expanded = (
+        F.broadcast(hits)
+        .join(
+            chunks,
+            (F.col("id").cast("string") == F.col("hit_doc"))
+            & (F.col("chunk_id") >= F.col("hit_chunk") - window)
+            & (F.col("chunk_id") <= F.col("hit_chunk") + window),
+        )
+        .select("id", "chunk_id", "chunk_text", "score", "rank")
+    )
+    merged = expanded.groupBy("id").agg(
+        F.min("rank").alias("best_rank"),
+        F.max("score").alias("best_score"),
+        F.count_distinct(F.col("chunk_id")).alias("n_chunks"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_set(F.struct("chunk_id", "chunk_text"))
+                ),
+                lambda s: s.chunk_text,
+            ),
+        ).alias("context"),
+    )
+    return merged.select(
+        F.col("id").alias(id_col), "best_rank", "best_score", "n_chunks",
+        "context",
+    )

@@ -2368,6 +2368,111 @@ def train_val_test_stats(spark, sf_dir):
     )
 
 
+@q(
+    "doc_length_quantiles",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS chars_p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS chars_p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS chars_p99
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_length_quantiles(spark, sf_dir):
+    """Corpus length profiling with EXACT interpolated percentiles: Spark's
+    `percentile` and DuckDB's `quantile_cont` share the (n-1)*p linear-
+    interpolation convention, so the floats hash-match bit-for-bit after
+    rounding. Exact percentile is the oracle-able correctness baseline; at
+    100 TB the same entry shape swaps to percentile_approx (t-digest, one
+    pass, mergeable sketches) once a tolerance — not a hash — is the check."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("chars_p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("chars_p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("chars_p99"),
+    )
+
+
+@q(
+    "rag_context_assembly",
+    """
+    WITH wt AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\W+'), t -> t <> '')
+               AS w
+      FROM documents
+    ), chunks AS MATERIALIZED (
+      SELECT doc_id, cid,
+             array_to_string(list_slice(w, cid * 12 + 1, (cid + 1) * 12),
+                             ' ') AS ctext
+      FROM (
+        SELECT doc_id, w,
+               unnest(range(0, cast(ceil(len(w) / 12.0) AS INT))) AS cid
+        FROM wt WHERE len(w) > 0
+      )
+    ), ck AS (
+      SELECT doc_id, cid, ctext,
+             doc_id || ':' || cid AS ckey,
+             list_filter(regexp_split_to_array(lower(ctext), '\\W+'),
+                         t -> t <> '') AS cw
+      FROM chunks
+    ), lens AS (SELECT ckey, len(cw) AS dl FROM ck),
+    consts AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT ckey, term, count(*) AS tf FROM (
+        SELECT ckey, unnest(cw) AS term FROM ck
+      ) WHERE term IN ('merge', 'vector', 'stream')
+      GROUP BY ckey, term
+    ), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.ckey,
+             round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / avgdl))
+             ), 4) AS score
+      FROM tf t JOIN dfreq USING (term) JOIN lens l ON l.ckey = t.ckey
+      CROSS JOIN consts GROUP BY t.ckey
+    ), hits AS MATERIALIZED (
+      SELECT ckey, score,
+             row_number() OVER (ORDER BY score DESC, ckey) AS rank
+      FROM (SELECT * FROM scored ORDER BY score DESC, ckey LIMIT 5)
+    ), hsplit AS (
+      SELECT split_part(ckey, ':', 1) AS hit_doc,
+             split_part(ckey, ':', 2)::INT AS hit_chunk, score, rank
+      FROM hits
+    ), expanded AS (
+      SELECT c.doc_id, c.cid, c.ctext, h.score, h.rank
+      FROM hsplit h JOIN chunks c
+        ON c.doc_id::VARCHAR = h.hit_doc
+       AND c.cid BETWEEN h.hit_chunk - 1 AND h.hit_chunk + 1
+    )
+    SELECT doc_id, min(rank) AS best_rank, max(score) AS best_score,
+           count(DISTINCT cid)::BIGINT AS n_chunks,
+           array_to_string(
+             list_sort(list(DISTINCT {'cid': cid, 'ctext': ctext}))
+               .list_transform(s -> s.ctext), ' ') AS context
+    FROM expanded GROUP BY doc_id
+    """,
+)
+def rag_context_assembly(spark, sf_dir):
+    """RAG grounding-context assembly (operators.retrieval.assemble_context):
+    12-word chunks BM25-scored for 'merge vector stream' (reusing the
+    library retriever over composite doc:chunk keys), top-5 hits widened by
+    ±1 neighboring chunk and merged per document in position order — the
+    retrieve-then-expand step between lexical search and prompt building.
+    The oracle recomputes chunking, chunk-level BM25 (float idf/length
+    arithmetic included), the string-key tiebreak, the neighbor range join,
+    and the position-ordered merge."""
+    from ..operators.retrieval import assemble_context
+
+    docs = _t(spark, sf_dir, "documents")
+    return assemble_context(
+        docs, "merge vector stream", k=5, chunk_size=12, window=1
+    )
+
+
 # === embeddings: similarity search ===========================================
 
 

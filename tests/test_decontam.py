@@ -83,3 +83,62 @@ def test_decontaminate_no_broadcast_parity(frames):
         decontaminate(corpus, bench, n=3, broadcast_benchmark=False).collect()
     )
     assert a == b
+
+
+# --- RAG context assembly (operators/retrieval.py) --------------------------
+
+
+def test_chunk_words_df(spark):
+    from knowledge_graph_rag_spark.operators.retrieval import chunk_words_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven"),   # 7 words -> 3+3+1
+            (2, "a b c"),                                # exactly one chunk
+            (3, ""),                                     # empty -> no rows
+        ],
+        "doc_id int, text string",
+    )
+    out = sorted(
+        (r.id, r.chunk_id, r.chunk_text)
+        for r in chunk_words_df(docs, chunk_size=3).collect()
+    )
+    assert out == [
+        (1, 0, "one two three"),
+        (1, 1, "four five six"),
+        (1, 2, "seven"),
+        (2, 0, "a b c"),
+    ]
+
+
+def test_assemble_context_semantics(spark):
+    """Top-scoring chunk pulls in its positional neighbors; merged context
+    preserves chunk order; documents without hits are absent; best_rank/
+    n_chunks bookkeeping is correct."""
+    from knowledge_graph_rag_spark.operators.retrieval import assemble_context
+
+    rows = [
+        # doc 1: the query terms sit in the MIDDLE chunk (words 4-6 of 9)
+        (1, "alpha beta gamma needle needle haystack delta epsilon zeta"),
+        # doc 2: one weak mention at the start
+        (2, "needle filler words only here nothing else relevant at all"),
+        # doc 3: no query terms at all
+        (3, "completely unrelated text about other things entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r
+        for r in assemble_context(
+            docs, "needle haystack", k=3, chunk_size=3, window=1
+        ).collect()
+    }
+    assert 3 not in out
+    # doc 1's hit chunk is cid=1 ('needle needle haystack'); window=1 pulls
+    # cids 0..2 -> the whole doc in order
+    assert out[1].best_rank == 1
+    assert out[1].n_chunks == 3
+    assert out[1].context == rows[0][1]
+    # doc 2's hit is cid=0; neighbors are cids 0..1 only
+    assert out[2].n_chunks == 2
+    assert out[2].context == "needle filler words only here nothing"
+    assert out[2].best_rank > out[1].best_rank
