@@ -45,9 +45,9 @@ def main() -> None:
                     help="parquet dir/file with (doc_id, text) benchmark/"
                     "eval docs: adds the decontam stage (drop corpus docs "
                     "with any n-gram overlap)")
-    ap.add_argument("--decontam-ngram", type=int, default=13,
-                    help="n-gram size for decontamination (published "
-                    "default 13)")
+    ap.add_argument("--decontam-ngram", type=int, default=None,
+                    help="n-gram size for decontamination (default 13; "
+                    "requires --decontam-benchmark)")
     ap.add_argument("--pii-scrub", action="store_true",
                     help="redact PII in text (class tokens like <EMAIL>) "
                     "after the quality gate, before sampling/token stats")
@@ -56,6 +56,9 @@ def main() -> None:
                     help="language-stratified sampling, e.g. 'en=0.3,de=1.0' "
                     "(languages not listed fall back to --sample-fraction)")
     args = ap.parse_args()
+    if args.decontam_ngram is not None and not args.decontam_benchmark:
+        ap.error("--decontam-ngram requires --decontam-benchmark "
+                 "(without a benchmark no decontam stage runs)")
     lang_fractions = None
     if args.lang_fractions:
         lang_fractions = {
@@ -82,7 +85,9 @@ def main() -> None:
             spark.read.parquet(args.decontam_benchmark)
             if args.decontam_benchmark else None
         ),
-        decontam_ngram=args.decontam_ngram,
+        decontam_ngram=(
+            args.decontam_ngram if args.decontam_ngram is not None else 13
+        ),
         pii_scrub=args.pii_scrub,
     )
     print(json.dumps({

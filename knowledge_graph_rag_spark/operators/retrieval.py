@@ -324,7 +324,13 @@ def assemble_context(
     final merge aggregates at most k*(2*window+1) rows. Composite chunk key
     is ``doc:chunk`` (string) so the library retriever is reused unchanged;
     ranking ties therefore break on that string, mirrored in the oracle."""
-    chunks = chunk_words_df(docs, id_col, text_col, chunk_size)
+    # chunks feeds FOUR subtrees (bm25's lens/consts/tf scans + the neighbor
+    # expansion join) — checkpoint so the split/transform/posexplode chunking
+    # runs once, not per consumer (same convention as dedup.ngram_jaccard_
+    # pairs' grouped table; blocks reclaimed once the result is dropped)
+    chunks = chunk_words_df(docs, id_col, text_col, chunk_size).localCheckpoint(
+        eager=False
+    )
     keyed = chunks.select(
         F.concat(
             F.col("id").cast("string"), F.lit(":"),
@@ -332,11 +338,16 @@ def assemble_context(
         ).alias("ck"),
         F.col("chunk_text").alias("text"),
     )
+    # parse the composite key from the RIGHT — a string doc id may itself
+    # contain ':' ('a:1' chunk 0 keys as 'a:1:0'); the chunk suffix is the
+    # digits after the LAST colon
     hits = bm25_topk(
         keyed, query, id_col="ck", text_col="text", k=k, k1=k1, b=b
     ).select(
-        F.split(F.col("id"), ":").getItem(0).alias("hit_doc"),
-        F.split(F.col("id"), ":").getItem(1).cast("int").alias("hit_chunk"),
+        F.regexp_extract(F.col("id"), r"^(.*):(\d+)$", 1).alias("hit_doc"),
+        F.regexp_extract(F.col("id"), r"^(.*):(\d+)$", 2)
+        .cast("int")
+        .alias("hit_chunk"),
         "score", "rank",
     )
     expanded = (

@@ -121,8 +121,10 @@ def train_val_test_split(
     - re-rollable via ``salt`` without touching the key.
 
     Weights are assigned cumulatively in dict order; the LAST split absorbs
-    the rounding remainder (all 65536 buckets are always covered). A pure
-    row-level projection: no shuffle, no state.
+    the rounding remainder (all 65536 buckets are always covered). Rows with
+    a NULL key (unhashable — likely upstream junk) are routed to the FIRST
+    split explicitly: junk may contaminate training, never the held-out
+    eval sets. A pure row-level projection: no shuffle, no state.
     """
     if weights is None:
         weights = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -133,10 +135,12 @@ def train_val_test_split(
         raise ValueError(f"weights must sum to 1, got {total}")
     bucket = hash_bucket(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     names = list(weights)
+    # NULL keys first: a NULL bucket makes every `<` condition NULL (falsy),
+    # which would silently dump those rows into the last split — the eval
+    # set. Route them to train instead.
+    expr = F.when(F.col(key_col).isNull(), names[0])
     cum = 0.0
-    expr = None
     for name in names[:-1]:
         cum += weights[name]
-        cond = bucket < int(cum * _BUCKETS)
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        expr = expr.when(bucket < int(cum * _BUCKETS), name)
     return df.withColumn(split_col, expr.otherwise(names[-1]))

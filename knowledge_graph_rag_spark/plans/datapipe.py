@@ -153,11 +153,36 @@ def curate(
     # were curated before the knob existed, and their stored cfg_key must
     # keep matching a default-knob resume (appending None unconditionally
     # would turn every legacy resume into a config-mismatch refusal)
+    if benchmark is not None:
+        # the fingerprint must capture WHICH benchmark, not just that one
+        # was used — otherwise re-curating against a new eval set silently
+        # resumes with the old decontam output (the exact hazard this guard
+        # exists for). Content hash, order-insensitive (sum of row digests
+        # mod 2^63): one narrow scan of the benchmark frame, which is an
+        # eval suite — bounded by design.
+        bench_fp = (
+            benchmark.select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("\x01", "doc_id", "text")), 1, 15
+                    ),
+                    16, 10,
+                ).cast("long").alias("h")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                # decimal sum: a long sum could overflow on a huge frame
+                (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(2 ** 62))
+                .alias("s"),
+            )
+            .first()
+        )
+        bench_key = (bench_fp["n"], int(bench_fp["s"] or 0))
     cfg = repr((near_dup_max_dist, sample_fraction,
                 sorted((lang_fractions or {}).items()), near_dup_strategy)
                + ((near_dup_verify_threshold,)
                   if near_dup_verify_threshold is not None else ())
-               + (("decontam", decontam_ngram)
+               + (("decontam", decontam_ngram, bench_key)
                   if benchmark is not None else ())
                + (("pii_scrub",) if pii_scrub else ()))
     cfg_key = _hl.md5(cfg.encode()).hexdigest()[:12]

@@ -142,3 +142,23 @@ def test_assemble_context_semantics(spark):
     assert out[2].n_chunks == 2
     assert out[2].context == "needle filler words only here nothing"
     assert out[2].best_rank > out[1].best_rank
+
+
+def test_assemble_context_doc_ids_with_colons(spark):
+    """Composite doc:chunk keys parse from the RIGHT — a ':' inside a string
+    doc id must not cross-wire or drop hits."""
+    from knowledge_graph_rag_spark.operators.retrieval import assemble_context
+
+    rows = [
+        ("a:1", "alpha beta gamma needle needle haystack delta epsilon zeta"),
+        ("a", "totally unrelated filler text with nothing of interest here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r.doc_id: r
+        for r in assemble_context(
+            docs, "needle haystack", k=2, chunk_size=3, window=1
+        ).collect()
+    }
+    assert set(out) == {"a:1"}
+    assert out["a:1"].context == rows[0][1]

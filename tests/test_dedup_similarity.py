@@ -921,3 +921,14 @@ def test_train_val_test_split_semantics(spark):
         SP.train_val_test_split(df, "doc_id", weights={"a": 0.5, "b": 0.6})
     with pytest.raises(ValueError):
         SP.train_val_test_split(df, "doc_id", weights={"a": 1.0})
+
+
+def test_train_val_test_split_null_keys_go_to_train(spark):
+    """NULL keys must land in the FIRST split (train), never the eval set."""
+    from knowledge_graph_rag_spark.operators import sampling as SP
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id int"
+    )
+    out = {r.doc_id: r.split for r in SP.train_val_test_split(df, "doc_id").collect()}
+    assert out[None] == "train"

@@ -723,3 +723,43 @@ def test_curation_decontam_and_pii_stages(spark, tmp_path):
     with _pytest.raises(ValueError, match="different"):
         datapipe.curate(spark, docs, store, dataset_id="dc", run_id="r3",
                         near_dup_max_dist=0.2)
+
+
+def test_curation_benchmark_identity_guard(spark, tmp_path):
+    """The config fingerprint captures WHICH benchmark (content hash): a
+    re-run with a different eval frame refuses instead of silently resuming
+    with the old decontam output; same content (even re-ordered) resumes."""
+    import pytest as _pytest
+
+    from knowledge_graph_rag_spark.plans import datapipe
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+
+    rows = [
+        ("d01", "the quick brown fox jumps over the lazy dog near the "
+                "river bank while herons watch from the reeds"),
+        ("d04", "a completely separate document describing parquet row "
+                "groups and predicate pushdown in steady prose"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    bench_a = spark.createDataFrame(
+        [("b1", "first benchmark question text entirely distinct alpha"),
+         ("b2", "second benchmark question text entirely distinct beta")],
+        "doc_id string, text string",
+    )
+    store = GraphStore(spark, str(tmp_path / "wh"))
+    res = datapipe.curate(spark, docs, store, dataset_id="bg", run_id="r1",
+                          benchmark=bench_a, decontam_ngram=3)
+    assert "decontam" in res.stages_run
+
+    # identical content, different row order -> same fingerprint, resumes
+    res2 = datapipe.curate(
+        spark, docs, store, dataset_id="bg", run_id="r2",
+        benchmark=bench_a.orderBy(F.desc("doc_id")), decontam_ngram=3,
+    )
+    assert not res2.stages_run
+
+    # different benchmark content -> refuse
+    bench_b = bench_a.withColumn("text", F.concat(F.col("text"), F.lit(" x")))
+    with _pytest.raises(ValueError, match="different"):
+        datapipe.curate(spark, docs, store, dataset_id="bg", run_id="r3",
+                        benchmark=bench_b, decontam_ngram=3)
