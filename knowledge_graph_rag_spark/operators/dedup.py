@@ -489,3 +489,108 @@ def embedding_cosine_pairs(
     return cand.filter(cos >= threshold).select(
         "id_a", "id_b", F.round(cos, 4).alias("cosine")
     )
+
+
+# --- persisted MinHash-LSH index (incremental cross-corpus near-dup) ---------
+
+
+def _minhash_buckets(
+    df: DataFrame, id_col: str = "id", text_col: str = "text",
+    num_hash_tables: int = 12,
+) -> DataFrame:
+    """``(id, band, bucket)`` banded MinHash bucket assignments — the
+    session-independent building block of the persisted near-dup index.
+
+    Stability contract: HashingTF is stateless (fixed 2^20 space) and the
+    MinHash coefficient family is drawn from a FIXED seed, so the same
+    document produces byte-identical (band, bucket) rows in any session, on
+    any cluster, in any batch — which is what lets an index built yesterday
+    answer probes computed today. Docs with <3 words have no shingles and
+    get no buckets (they cannot near-dup by trigram overlap)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
+
+    sh = word_shingles(df, id_col, text_col, 3).groupBy("id").agg(
+        F.collect_list("shingle").alias("shingles")
+    )
+    ht = HashingTF(
+        inputCol="shingles", outputCol="features",
+        numFeatures=MINHASH_NUM_FEATURES, binary=True,
+    )
+    feats = ht.transform(sh)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=42,
+    ).fit(feats)
+    hashed = model.transform(feats)
+    return hashed.select(
+        "id", F.posexplode("hashes").alias("band", "h")
+    ).select(
+        "id",
+        F.col("band").cast("int").alias("band"),
+        vector_to_array(F.col("h")).getItem(0).cast("long").alias("bucket"),
+    )
+
+
+def build_minhash_index(
+    docs: DataFrame, path: str, id_col: str = "id", text_col: str = "text",
+    num_hash_tables: int = 12,
+) -> None:
+    """Persist the banded-bucket table for ``docs`` as parquet PARTITIONED BY
+    band (12 narrow partitions; each probe band joins only its own files).
+    The point of the index: deduplicating N new docs against a B-doc corpus
+    costs O(N signatures + bucket join) — the corpus is never re-shingled,
+    re-hashed, or re-fit, which is the difference between an incremental
+    ingest and an O(B) recompute per batch at 100 TB."""
+    import json
+    import os
+
+    buckets = _minhash_buckets(docs, id_col, text_col, num_hash_tables)
+    buckets.write.mode("overwrite").partitionBy("band").parquet(path)
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
+        json.dump({"num_hash_tables": num_hash_tables}, f)
+
+
+def minhash_index_add(
+    new_docs: DataFrame, path: str, id_col: str = "id",
+    text_col: str = "text",
+) -> None:
+    """Append the new docs' buckets — O(new), corpus untouched (same
+    maintenance shape as similarity.ivf_index_add)."""
+    n = _read_lsh_meta(path)
+    _minhash_buckets(new_docs, id_col, text_col, n).write.mode(
+        "append"
+    ).partitionBy("band").parquet(path)
+
+
+def minhash_index_probe(
+    new_docs: DataFrame, path: str, id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup CANDIDATES ``(probe_id, index_id)`` for ``new_docs`` against
+    the persisted corpus index: any shared (band, bucket) — the standard
+    LSH OR-of-bands rule. Candidates, not verdicts: compose with
+    verify_pairs_exact_jaccard before acting on them (banding has false
+    positives by design). Self-matches (same id on both sides) are dropped
+    so an index that already contains the probe batch can be probed
+    idempotently."""
+    n = _read_lsh_meta(path)
+    spark = new_docs.sparkSession
+    idx = spark.read.parquet(path).withColumnRenamed("id", "index_id")
+    nb = _minhash_buckets(new_docs, id_col, text_col, n).withColumnRenamed(
+        "id", "probe_id"
+    )
+    return (
+        nb.join(idx, ["band", "bucket"])
+        .filter(F.col("probe_id") != F.col("index_id"))
+        .select("probe_id", "index_id")
+        .distinct()
+    )
+
+
+def _read_lsh_meta(path: str) -> int:
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh_meta.json")) as f:
+        return int(json.load(f)["num_hash_tables"])

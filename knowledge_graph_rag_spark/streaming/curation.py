@@ -16,9 +16,14 @@ sample, token stats — with the stream-specific shape:
   makes the replay a no-op — same contract as run_incremental.
 - **First-seen-wins dedup.** Arrival order decides the surviving doc for
   identical content (within a batch: min doc_id, matching dedup_exact).
-  Cross-batch near-dup (LSH) is deliberately NOT done per micro-batch — it
-  needs a global index; run ``datapipe.curate`` (or a periodic compaction)
-  over the accepted table for that stage.
+  Cross-batch NEAR-dup is opt-in (``near_dup_online=True``): the global
+  banded MinHash bucket index the stage needs is itself stream state
+  (``dp_<dataset>_stream_lshidx``, one immutable partition per batch), so
+  each batch probes the accepted corpus's buckets, drops its near-dups
+  (optionally exact-verified) and appends only its survivors' buckets —
+  O(batch) signature work, the corpus is never re-shingled. Compaction
+  (CC-transitive tombstones) remains available on top; with the knob off
+  the pre-r05 defer-to-compaction behavior is unchanged.
 
 Stream == batch parity (when batches arrive in doc_id order, so first-seen
 coincides with min-id) is pinned by test_stream_curation_matches_batch.
@@ -34,10 +39,82 @@ from ..sources.graph_store import GraphStore
 HASHES_TABLE = "stream_hashes"
 DOCS_TABLE = "stream_docs"
 STATS_TABLE = "stream_token_stats"
+LSHIDX_TABLE = "stream_lshidx"
+
+
+def _online_near_dup_drops(
+    kept: DataFrame, store: GraphStore, idx_tbl: str, batch_id: int,
+    verify_threshold: float | None,
+) -> DataFrame:
+    """doc_ids of ``kept`` to drop under ONLINE near-dup: any doc with a
+    near-dup neighbor already in the curated corpus (cross-batch, via the
+    persisted banded-bucket index) or a SMALLER-id near-dup neighbor inside
+    this batch — greedy first-seen-survives, the stream-order semantic.
+    (Compaction's CC-with-min-representative can merge transitively and
+    drop slightly more; the tombstone pass remains available on top.)
+
+    ``verify_threshold`` confirms every candidate by exact trigram Jaccard
+    before dropping — the text of cross-batch partners comes from the
+    accepted docs table via a candidate-bounded semi-join, never a full
+    corpus scan."""
+    from ..operators.dedup import _minhash_buckets, verify_pairs_exact_jaccard
+
+    nb = _minhash_buckets(kept, "doc_id", "text").localCheckpoint(eager=True)
+    a = nb.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_a")
+    )
+    b = nb.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_b")
+    )
+    # id_a is ALWAYS the drop side (matches the cross-batch orientation):
+    # within a batch the larger id drops, its smaller near-dup survives
+    in_batch = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") > F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = in_batch
+    prior_texts = kept.select("doc_id", "text").limit(0)
+    if store.exists(idx_tbl):
+        # crash-replay safety: this batch's own partition may already be
+        # visible — exclude it or the replay dedups the batch against itself
+        idx = store.read(idx_tbl).filter(
+            F.col("graph_id") != f"b{batch_id}"
+        )
+        cross = (
+            nb.join(idx, ["band", "bucket"])
+            .select(
+                F.col("id").alias("id_a"),
+                F.col("doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        if verify_threshold is not None:
+            docs_tbl = idx_tbl.replace(LSHIDX_TABLE, DOCS_TABLE)
+            prior_texts = (
+                store.read(docs_tbl)
+                .filter(F.col("graph_id") != f"b{batch_id}")
+                .join(
+                    cross.select(F.col("id_b").alias("doc_id")).distinct(),
+                    "doc_id", "left_semi",
+                )
+                .select("doc_id", "text")
+            )
+        pairs = pairs.unionByName(cross)
+    if verify_threshold is not None:
+        texts = kept.select("doc_id", "text").unionByName(prior_texts)
+        pairs = verify_pairs_exact_jaccard(
+            pairs, texts, id_col="doc_id", text_col="text",
+            threshold=verify_threshold,
+        ).select("id_a", "id_b")
+    return pairs.select(F.col("id_a").alias("doc_id")).distinct()
 
 
 def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
-                batch_id: int, sample_fraction: float) -> None:
+                batch_id: int, sample_fraction: float,
+                near_dup_online: bool = False,
+                near_dup_verify_threshold: float | None = None) -> None:
     from ..functions.text import (
         BPE_PRETOKEN_REGEX,
         GOPHER_WS,
@@ -85,6 +162,33 @@ def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
     docs = hash_sample(passed, "doc_id", sample_fraction)
 
     gid = F.lit(f"b{batch_id}")
+    if near_dup_online and not docs.isEmpty():
+        # ONLINE cross-batch near-dup: the curated corpus's banded-bucket
+        # index IS stream state (dp_<id>_stream_lshidx, one graph_id=b<n>
+        # partition per batch — O(batch) commit like every other state
+        # table). New docs near-dupping ANY prior accepted doc (or a
+        # smaller-id doc in this batch) drop before commit; the index then
+        # gains only the survivors' buckets, so the corpus is never
+        # re-shingled — this closes the "LSH needs a global index" gap that
+        # previously deferred all near-dup to compaction.
+        idx_tbl = f"dp_{dataset_id}_{LSHIDX_TABLE}"
+        drops = _online_near_dup_drops(
+            docs.select("doc_id", "text"), store, idx_tbl, batch_id,
+            near_dup_verify_threshold,
+        )
+        docs = docs.join(drops, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        from ..operators.dedup import _minhash_buckets
+
+        store.upsert_graph_partitions(
+            idx_tbl,
+            _minhash_buckets(docs, "doc_id", "text").select(
+                gid.alias("graph_id"),
+                "band", "bucket",
+                F.col("id").alias("doc_id"),
+            ),
+        )
     store.upsert_graph_partitions(
         hashes_tbl, passed.select(gid.alias("graph_id"), "_h")
     )
@@ -154,14 +258,26 @@ def stream_documents_to_curation(
     checkpoint_dir: str | None = None,
     sample_fraction: float = 1.0,
     available_now: bool = True,
+    near_dup_online: bool = False,
+    near_dup_verify_threshold: float | None = None,
 ):
     """foreachBatch curation sink over a (doc_id, text, …) document stream.
-    Returns the started StreamingQuery."""
+    Returns the started StreamingQuery.
+
+    ``near_dup_online=True`` maintains a persisted banded MinHash bucket
+    index as stream state and drops each batch's near-dups of the already-
+    accepted corpus (and smaller-id in-batch near-dups) BEFORE commit —
+    cross-batch near-dup per micro-batch, no longer deferred to compaction
+    (which stays available for CC-transitive cleanup on top).
+    ``near_dup_verify_threshold`` confirms every online candidate by exact
+    trigram Jaccard before it drops anything (same guard as datapipe)."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        _fold_batch(batch_df, store, dataset_id, batch_id, sample_fraction)
+        _fold_batch(batch_df, store, dataset_id, batch_id, sample_fraction,
+                    near_dup_online=near_dup_online,
+                    near_dup_verify_threshold=near_dup_verify_threshold)
 
     writer = (
         docs_stream.writeStream.outputMode("append").foreachBatch(fold)

@@ -932,3 +932,60 @@ def test_train_val_test_split_null_keys_go_to_train(spark):
     )
     out = {r.doc_id: r.split for r in SP.train_val_test_split(df, "doc_id").collect()}
     assert out[None] == "train"
+
+
+def test_minhash_index_build_probe_add(spark, tmp_path):
+    """Persisted LSH index: a probe finds the planted near-dup of a corpus
+    doc without recomputing corpus signatures; incremental add == rebuild;
+    candidates compose with exact verification; self-probe is idempotent."""
+    base = ("the patient crane waits beside the shallow river bend while "
+            "morning fog settles over the quiet water meadow slowly")
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "spark adaptive execution reorders joins and coalesces "
+                "shuffle partitions when statistics allow it to do so"),
+            (3, "a third unrelated document about parquet encodings and "
+                "dictionary compression for long string columns"),
+        ],
+        "id int, text string",
+    )
+    path = str(tmp_path / "lshidx")
+    DD.build_minhash_index(corpus, path)
+
+    probes = spark.createDataFrame(
+        [
+            (10, base.replace("crane", "heron")),  # near-dup of 1
+            (11, "entirely fresh content about streaming watermarks and "
+                 "stateful aggregation timeouts in micro batches"),
+        ],
+        "id int, text string",
+    )
+    cands = DD.minhash_index_probe(probes, path)
+    got = {(r.probe_id, r.index_id) for r in cands.collect()}
+    assert (10, 1) in got
+    assert not any(p == 11 for p, _ in got)
+
+    # verification composes: the candidate pair survives exact Jaccard
+    verified = DD.verify_pairs_exact_jaccard(
+        cands.select(
+            F.col("probe_id").alias("id_a"), F.col("index_id").alias("id_b")
+        ),
+        probes.unionByName(corpus),
+        threshold=0.5,
+    )
+    assert {(r.id_a, r.id_b) for r in verified.collect()} == {(10, 1)}
+
+    # incremental add: index+probes == rebuild-from-scratch on the union
+    DD.minhash_index_add(probes, path)
+    rebuilt = str(tmp_path / "lshidx2")
+    DD.build_minhash_index(probes.unionByName(corpus), rebuilt)
+    a = {tuple(r) for r in spark.read.parquet(path).collect()}
+    b = {tuple(r) for r in spark.read.parquet(rebuilt).collect()}
+    assert a == b
+
+    # probing with a batch already IN the index: no self-matches
+    again = {(r.probe_id, r.index_id)
+             for r in DD.minhash_index_probe(probes, path).collect()}
+    assert all(p != i for p, i in again)
+    assert (10, 1) in again

@@ -764,3 +764,88 @@ def test_stream_curation_subsample_dedup_parity(spark, tmp_path):
     _fold_batch(b2, store, "sp", 1, sample_fraction=0.5)
     accepted2 = {r.doc_id for r in store.read("dp_sp_stream_docs").collect()}
     assert accepted2 == {"d001"}  # d000 dropped as a duplicate of d002
+
+
+def test_stream_curation_online_near_dup(spark, tmp_path):
+    """near_dup_online=True drops cross-BATCH near-dups at ingest via the
+    persisted bucket index (no compaction needed), keeps first-seen, verifies
+    candidates when the threshold knob is set, and stays exactly-once on
+    restart; with the knob off the near-dups are admitted (pre-r05
+    behavior)."""
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+    from knowledge_graph_rag_spark.streaming.curation import (
+        read_curated,
+        stream_documents_to_curation,
+    )
+
+    base = ("the patient crane waits beside the shallow river bend while "
+            "morning fog settles over the quiet water meadow slowly")
+    other = ("a calm essay on parquet row groups and predicate pushdown "
+             "for long string columns with dictionary encoding")
+    rows_b0 = [("d00", base), ("d01", other)]
+    rows_b1 = [
+        ("d10", base.replace("crane", "heron")),   # near-dup of d00 (batch 0)
+        ("d11", "completely fresh prose about broadcast joins and adaptive "
+                "query execution strategies in modern engines"),
+    ]
+    rows_b2 = [
+        ("d20", other.replace("calm", "long")),    # near-dup of d01 (batch 0)
+        # near-dup of d21's smaller sibling within the SAME batch
+        ("d21", "steady notes about shuffle partition skew and salting "
+                "mitigations applied to heavy aggregation keys today"),
+        ("d22", "steady notes about shuffle partition skew and salting "
+                "mitigations applied to heavy aggregation keys tonight"),
+    ]
+
+    def run(dsid, **kw):
+        drop = tmp_path / f"drop_{dsid}"
+        drop.mkdir()
+        for i, chunk in enumerate([rows_b0, rows_b1, rows_b2]):
+            spark.createDataFrame(
+                chunk, "doc_id string, text string"
+            ).coalesce(1).write.parquet(str(drop / f"part{i:02d}"))
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop) + "/part*")
+        )
+        store = GraphStore(spark, str(tmp_path / f"wh_{dsid}"))
+        q = stream_documents_to_curation(
+            stream, store, dsid,
+            checkpoint_dir=str(tmp_path / f"ckpt_{dsid}"), **kw
+        )
+        q.awaitTermination(240)
+        return store, {r.doc_id for r in read_curated(store, dsid).collect()}
+
+    store_on, kept_on = run(
+        "nd1", near_dup_online=True, near_dup_verify_threshold=0.3
+    )
+    # cross-batch near-dups dropped at ingest, first-seen survives;
+    # in-batch larger-id near-dup (d22) dropped too
+    assert kept_on == {"d00", "d01", "d11", "d21"}
+    # the index table carries one partition per batch that kept docs
+    idx = store_on.read("dp_nd1_stream_lshidx")
+    assert {r.graph_id for r in idx.select("graph_id").distinct().collect()} \
+        == {"b0", "b1", "b2"}
+    # index holds only survivors' buckets
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} \
+        == kept_on
+
+    # restart with the same checkpoint: nothing replays, corpus unchanged
+    stream2 = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "drop_nd1") + "/part*")
+    )
+    q2 = stream_documents_to_curation(
+        stream2, store_on, "nd1",
+        checkpoint_dir=str(tmp_path / "ckpt_nd1"),
+        near_dup_online=True, near_dup_verify_threshold=0.3,
+    )
+    q2.awaitTermination(120)
+    from knowledge_graph_rag_spark.streaming.curation import read_curated as rc
+    assert {r.doc_id for r in rc(store_on, "nd1").collect()} == kept_on
+
+    # knob off: near-dups are admitted (deferred-to-compaction behavior)
+    _, kept_off = run("nd0")
+    assert {"d10", "d20", "d22"} <= kept_off
