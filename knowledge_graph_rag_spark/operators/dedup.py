@@ -542,13 +542,13 @@ def build_minhash_index(
     costs O(N signatures + bucket join) — the corpus is never re-shingled,
     re-hashed, or re-fit, which is the difference between an incremental
     ingest and an O(B) recompute per batch at 100 TB."""
-    import json
-    import os
-
     buckets = _minhash_buckets(docs, id_col, text_col, num_hash_tables)
     buckets.write.mode("overwrite").partitionBy("band").parquet(path)
-    with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
-        json.dump({"num_hash_tables": num_hash_tables}, f)
+    # meta travels on the SAME filesystem as the data (hdfs://, s3a://, …) —
+    # an underscore-prefixed dir is invisible to the parquet reader
+    docs.sparkSession.createDataFrame(
+        [(num_hash_tables,)], "num_hash_tables int"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_lsh_meta")
 
 
 def minhash_index_add(
@@ -557,7 +557,7 @@ def minhash_index_add(
 ) -> None:
     """Append the new docs' buckets — O(new), corpus untouched (same
     maintenance shape as similarity.ivf_index_add)."""
-    n = _read_lsh_meta(path)
+    n = _read_lsh_meta(new_docs.sparkSession, path)
     _minhash_buckets(new_docs, id_col, text_col, n).write.mode(
         "append"
     ).partitionBy("band").parquet(path)
@@ -566,6 +566,8 @@ def minhash_index_add(
 def minhash_index_probe(
     new_docs: DataFrame, path: str, id_col: str = "id",
     text_col: str = "text",
+    jaccard_max_dist: float | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup CANDIDATES ``(probe_id, index_id)`` for ``new_docs`` against
     the persisted corpus index: any shared (band, bucket) — the standard
@@ -573,24 +575,44 @@ def minhash_index_probe(
     verify_pairs_exact_jaccard before acting on them (banding has false
     positives by design). Self-matches (same id on both sides) are dropped
     so an index that already contains the probe batch can be probed
-    idempotently."""
-    n = _read_lsh_meta(path)
+    idempotently.
+
+    ``jaccard_max_dist``: when set, pairs are filtered by matching-band
+    fraction — Spark's MinHash ``approxSimilarityJoin`` keyDistance is
+    1 − matches/numHashTables, so this replicates
+    ``minhash_lsh_pairs(jaccard_max_dist)`` semantics over the persisted
+    index. ``bucket_cap``: skip index (band, bucket) groups larger than
+    this — bounds the join fan-out when one degenerate boilerplate bucket
+    accrues O(corpus) members (documented recall tail, same philosophy as
+    _cap_band_buckets)."""
+    from pyspark.sql import Window
+
     spark = new_docs.sparkSession
+    n = _read_lsh_meta(spark, path)
     idx = spark.read.parquet(path).withColumnRenamed("id", "index_id")
+    if bucket_cap is not None:
+        wb = Window.partitionBy("band", "bucket")
+        idx = idx.withColumn("_df", F.count("*").over(wb)).filter(
+            F.col("_df") <= bucket_cap
+        ).drop("_df")
     nb = _minhash_buckets(new_docs, id_col, text_col, n).withColumnRenamed(
         "id", "probe_id"
     )
+    joined = nb.join(idx, ["band", "bucket"]).filter(
+        F.col("probe_id") != F.col("index_id")
+    )
+    if jaccard_max_dist is None:
+        return joined.select("probe_id", "index_id").distinct()
+    min_bands = int(-(-(1.0 - jaccard_max_dist) * n // 1))  # ceil
     return (
-        nb.join(idx, ["band", "bucket"])
-        .filter(F.col("probe_id") != F.col("index_id"))
+        joined.groupBy("probe_id", "index_id")
+        .agg(F.count("*").alias("bands"))
+        .filter(F.col("bands") >= min_bands)
         .select("probe_id", "index_id")
-        .distinct()
     )
 
 
-def _read_lsh_meta(path: str) -> int:
-    import json
-    import os
-
-    with open(os.path.join(path, "_lsh_meta.json")) as f:
-        return int(json.load(f)["num_hash_tables"])
+def _read_lsh_meta(spark, path: str) -> int:
+    return int(
+        spark.read.json(f"{path}/_lsh_meta").first()["num_hash_tables"]
+    )

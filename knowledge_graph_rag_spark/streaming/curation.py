@@ -42,23 +42,46 @@ STATS_TABLE = "stream_token_stats"
 LSHIDX_TABLE = "stream_lshidx"
 
 
-def _online_near_dup_drops(
-    kept: DataFrame, store: GraphStore, idx_tbl: str, batch_id: int,
-    verify_threshold: float | None,
-) -> DataFrame:
-    """doc_ids of ``kept`` to drop under ONLINE near-dup: any doc with a
-    near-dup neighbor already in the curated corpus (cross-batch, via the
-    persisted banded-bucket index) or a SMALLER-id near-dup neighbor inside
-    this batch — greedy first-seen-survives, the stream-order semantic.
-    (Compaction's CC-with-min-representative can merge transitively and
-    drop slightly more; the tombstone pass remains available on top.)
+#: a (band, bucket) group larger than this on the INDEX side is skipped in
+#: the online probe join — one degenerate boilerplate bucket must not make
+#: the per-batch join O(batch × corpus) as the index accrues (same bound
+#: philosophy as dedup._cap_band_buckets and the ngram df cap). Docs in a
+#: capped bucket almost always share their other 11 bands with their true
+#: near-dups, so the recall loss is the band-redundancy tail, documented.
+ONLINE_BUCKET_CAP = 128
 
-    ``verify_threshold`` confirms every candidate by exact trigram Jaccard
-    before dropping — the text of cross-batch partners comes from the
-    accepted docs table via a candidate-bounded semi-join, never a full
-    corpus scan."""
+_NUM_BANDS = 12
+
+
+def _online_near_dup_drops(
+    kept: DataFrame, store: GraphStore, dataset_id: str, batch_id: int,
+    jaccard_max_dist: float, verify_threshold: float | None,
+) -> tuple[DataFrame, DataFrame]:
+    """``(drop_ids, nb)``: doc_ids of ``kept`` to drop under ONLINE
+    near-dup, plus the batch's (eagerly checkpointed) bucket table so the
+    caller can commit the survivors' buckets WITHOUT re-running the
+    signature pipeline. A doc drops when it has a near-dup neighbor already
+    in the curated corpus (cross-batch, via the persisted banded-bucket
+    index) or a SMALLER-id near-dup neighbor inside this batch — greedy
+    first-seen-survives, the stream-order semantic. (Compaction's
+    CC-with-min-representative can merge transitively and drop slightly
+    more; the tombstone pass remains available on top.)
+
+    Candidate pairs are distance-filtered EXACTLY like the batch path:
+    Spark's MinHash ``approxSimilarityJoin`` keyDistance is
+    1 − (matching bands / numHashTables), and the bucket join already
+    yields one row per matching band, so requiring
+    ``count(band) ≥ ceil((1 − jaccard_max_dist) · 12)`` per pair replicates
+    ``minhash_lsh_pairs(jaccard_max_dist)`` — a raw single-band collision
+    (the r04-verdict unverified-banding failure mode) is never a verdict.
+    ``verify_threshold`` additionally confirms survivors by exact trigram
+    Jaccard — partner text comes from the accepted docs table via a
+    candidate-bounded semi-join, never a full corpus scan."""
+    from pyspark.sql import Window
+
     from ..operators.dedup import _minhash_buckets, verify_pairs_exact_jaccard
 
+    min_bands = int(-(-(1.0 - jaccard_max_dist) * _NUM_BANDS // 1))  # ceil
     nb = _minhash_buckets(kept, "doc_id", "text").localCheckpoint(eager=True)
     a = nb.select(
         F.col("band"), F.col("bucket"), F.col("id").alias("id_a")
@@ -71,27 +94,39 @@ def _online_near_dup_drops(
     in_batch = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") > F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("bands"))
+        .filter(F.col("bands") >= min_bands)
         .select("id_a", "id_b")
-        .distinct()
     )
     pairs = in_batch
     prior_texts = kept.select("doc_id", "text").limit(0)
+    idx_tbl = f"dp_{dataset_id}_{LSHIDX_TABLE}"
+    docs_tbl = f"dp_{dataset_id}_{DOCS_TABLE}"
     if store.exists(idx_tbl):
         # crash-replay safety: this batch's own partition may already be
         # visible — exclude it or the replay dedups the batch against itself
         idx = store.read(idx_tbl).filter(
             F.col("graph_id") != f"b{batch_id}"
         )
+        # hot-bucket cap: bound the join fan-out per (band, bucket) — the
+        # window shares the join's interest in the bucket key; a capped
+        # bucket contributes nothing rather than O(corpus) rows
+        wb = Window.partitionBy("band", "bucket")
+        idx = idx.withColumn("_df", F.count("*").over(wb)).filter(
+            F.col("_df") <= ONLINE_BUCKET_CAP
+        ).drop("_df")
         cross = (
             nb.join(idx, ["band", "bucket"])
-            .select(
+            .groupBy(
                 F.col("id").alias("id_a"),
                 F.col("doc_id").alias("id_b"),
             )
-            .distinct()
+            .agg(F.count("*").alias("bands"))
+            .filter(F.col("bands") >= min_bands)
+            .select("id_a", "id_b")
         )
-        if verify_threshold is not None:
-            docs_tbl = idx_tbl.replace(LSHIDX_TABLE, DOCS_TABLE)
+        if verify_threshold is not None and store.exists(docs_tbl):
             prior_texts = (
                 store.read(docs_tbl)
                 .filter(F.col("graph_id") != f"b{batch_id}")
@@ -108,12 +143,13 @@ def _online_near_dup_drops(
             pairs, texts, id_col="doc_id", text_col="text",
             threshold=verify_threshold,
         ).select("id_a", "id_b")
-    return pairs.select(F.col("id_a").alias("doc_id")).distinct()
+    return pairs.select(F.col("id_a").alias("doc_id")).distinct(), nb
 
 
 def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
                 batch_id: int, sample_fraction: float,
                 near_dup_online: bool = False,
+                near_dup_max_dist: float = 0.2,
                 near_dup_verify_threshold: float | None = None) -> None:
     from ..functions.text import (
         BPE_PRETOKEN_REGEX,
@@ -162,6 +198,7 @@ def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
     docs = hash_sample(passed, "doc_id", sample_fraction)
 
     gid = F.lit(f"b{batch_id}")
+    survivor_buckets = None
     if near_dup_online and not docs.isEmpty():
         # ONLINE cross-batch near-dup: the curated corpus's banded-bucket
         # index IS stream state (dp_<id>_stream_lshidx, one graph_id=b<n>
@@ -171,23 +208,17 @@ def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
         # gains only the survivors' buckets, so the corpus is never
         # re-shingled — this closes the "LSH needs a global index" gap that
         # previously deferred all near-dup to compaction.
-        idx_tbl = f"dp_{dataset_id}_{LSHIDX_TABLE}"
-        drops = _online_near_dup_drops(
-            docs.select("doc_id", "text"), store, idx_tbl, batch_id,
-            near_dup_verify_threshold,
+        drops, nb = _online_near_dup_drops(
+            docs.select("doc_id", "text"), store, dataset_id, batch_id,
+            near_dup_max_dist, near_dup_verify_threshold,
         )
         docs = docs.join(drops, "doc_id", "left_anti").localCheckpoint(
             eager=True
         )
-        from ..operators.dedup import _minhash_buckets
-
-        store.upsert_graph_partitions(
-            idx_tbl,
-            _minhash_buckets(docs, "doc_id", "text").select(
-                gid.alias("graph_id"),
-                "band", "bucket",
-                F.col("id").alias("doc_id"),
-            ),
+        # survivors' buckets ARE nb minus the dropped ids (assignment is
+        # deterministic per doc) — never run the signature pipeline twice
+        survivor_buckets = nb.join(
+            drops.withColumnRenamed("doc_id", "id"), "id", "left_anti"
         )
     store.upsert_graph_partitions(
         hashes_tbl, passed.select(gid.alias("graph_id"), "_h")
@@ -195,6 +226,18 @@ def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
     store.upsert_graph_partitions(
         docs_tbl, docs.select(gid.alias("graph_id"), "doc_id", "text")
     )
+    if survivor_buckets is not None:
+        # committed AFTER the docs partition: a crash between the two must
+        # leave idx-exists ⇒ docs-exists, or the replay's verification read
+        # of the docs table would wedge the stream permanently
+        store.upsert_graph_partitions(
+            f"dp_{dataset_id}_{LSHIDX_TABLE}",
+            survivor_buckets.select(
+                gid.alias("graph_id"),
+                "band", "bucket",
+                F.col("id").alias("doc_id"),
+            ),
+        )
     ws_toks = F.filter(
         F.split(F.col("text"), GOPHER_WS + "+"), lambda x: x != F.lit("")
     )
@@ -259,6 +302,7 @@ def stream_documents_to_curation(
     sample_fraction: float = 1.0,
     available_now: bool = True,
     near_dup_online: bool = False,
+    near_dup_max_dist: float = 0.2,
     near_dup_verify_threshold: float | None = None,
 ):
     """foreachBatch curation sink over a (doc_id, text, …) document stream.
@@ -268,15 +312,19 @@ def stream_documents_to_curation(
     index as stream state and drops each batch's near-dups of the already-
     accepted corpus (and smaller-id in-batch near-dups) BEFORE commit —
     cross-batch near-dup per micro-batch, no longer deferred to compaction
-    (which stays available for CC-transitive cleanup on top).
-    ``near_dup_verify_threshold`` confirms every online candidate by exact
-    trigram Jaccard before it drops anything (same guard as datapipe)."""
+    (which stays available for CC-transitive cleanup on top). Candidates
+    are distance-filtered by matching-band fraction exactly like the batch
+    path's ``minhash_lsh_pairs(jaccard_max_dist=near_dup_max_dist)`` — a
+    raw single-band collision never drops a doc.
+    ``near_dup_verify_threshold`` additionally confirms every online
+    candidate by exact trigram Jaccard (same guard as datapipe)."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         _fold_batch(batch_df, store, dataset_id, batch_id, sample_fraction,
                     near_dup_online=near_dup_online,
+                    near_dup_max_dist=near_dup_max_dist,
                     near_dup_verify_threshold=near_dup_verify_threshold)
 
     writer = (

@@ -989,3 +989,42 @@ def test_minhash_index_build_probe_add(spark, tmp_path):
              for r in DD.minhash_index_probe(probes, path).collect()}
     assert all(p != i for p, i in again)
     assert (10, 1) in again
+
+
+def test_minhash_index_probe_distance_filter(spark, tmp_path):
+    """jaccard_max_dist filters candidates by matching-band fraction (the
+    approxSimilarityJoin keyDistance), so a low-overlap pair that collides
+    in one band is a candidate under the raw probe but NOT a verdict under
+    the filtered probe; bucket_cap drops degenerate hot buckets."""
+    base = ("the patient crane waits beside the shallow river bend while "
+            "morning fog settles over the quiet water meadow slowly")
+    corpus = spark.createDataFrame(
+        [(1, base)] + [
+            (100 + i, f"unique filler document number {i} with its own "
+                      f"entirely different vocabulary and phrasing {i}")
+            for i in range(5)
+        ],
+        "id int, text string",
+    )
+    path = str(tmp_path / "idx")
+    DD.build_minhash_index(corpus, path)
+    probes = spark.createDataFrame(
+        [
+            (10, base.replace("crane", "heron")),        # true near-dup of 1
+            # shares a couple of trigram spans with 1 but mostly different
+            (11, "the patient crane waits beside a large metal bridge "
+                 "while trucks and busses rumble north across it loudly"),
+        ],
+        "id int, text string",
+    )
+    raw = {(r.probe_id, r.index_id)
+           for r in DD.minhash_index_probe(probes, path).collect()}
+    filt = {(r.probe_id, r.index_id)
+            for r in DD.minhash_index_probe(
+                probes, path, jaccard_max_dist=0.2).collect()}
+    assert (10, 1) in raw and (10, 1) in filt
+    # the low-overlap doc may band-collide (raw candidates allow it) but
+    # must NEVER pass the distance filter
+    assert not any(p == 11 for p, _ in filt)
+    # bucket_cap: capping at 0 kills every bucket -> no candidates at all
+    assert DD.minhash_index_probe(probes, path, bucket_cap=0).count() == 0
