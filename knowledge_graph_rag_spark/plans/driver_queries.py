@@ -2473,6 +2473,57 @@ def rag_context_assembly(spark, sf_dir):
     )
 
 
+@q(
+    "simhash_band_profile",
+    """
+    SELECT * FROM (VALUES
+      (0::BIGINT, 500::BIGINT, 311::BIGINT, 16::BIGINT, 275::BIGINT),
+      (1::BIGINT, 500::BIGINT, 325::BIGINT, 8::BIGINT, 262::BIGINT),
+      (2::BIGINT, 500::BIGINT, 241::BIGINT, 26::BIGINT, 353::BIGINT),
+      (3::BIGINT, 500::BIGINT, 257::BIGINT, 23::BIGINT, 330::BIGINT)
+    ) AS t(band, n_docs, n_buckets, max_bucket, collided_docs)
+    """,
+)
+def simhash_band_profile(spark, sf_dir):
+    """Deterministic projection of the simhash path (dedup.simhash64 — the
+    batch-vectorized FNV-1a/SWAR implementation pinned bit-identical to the
+    scalar kernel by pytest): each doc's 64-bit simhash banded into four
+    16-bit keys (the simhash_pairs blocking scheme), profiled per band —
+    doc count, distinct buckets, largest bucket, docs sharing a bucket.
+    Integer-only, so the result freezes cleanly as a VALUES literal
+    (tools/freeze_oracles.py) — driver-gate coverage for the simhash
+    operator family, whose hash values no second engine can recompute."""
+    from ..operators.dedup import simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", simhash64(F.col("text")).alias("sh"))
+    bands = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sh", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    per_bucket = bands.groupBy("band", "key").agg(F.count("*").alias("sz"))
+    return per_bucket.groupBy("band").agg(
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.count("*").alias("n_buckets"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("collided_docs"),
+    ).orderBy("band")
+
+
 # === embeddings: similarity search ===========================================
 
 
