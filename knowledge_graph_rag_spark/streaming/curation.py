@@ -150,7 +150,10 @@ def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
                 batch_id: int, sample_fraction: float,
                 near_dup_online: bool = False,
                 near_dup_max_dist: float = 0.2,
-                near_dup_verify_threshold: float | None = None) -> None:
+                near_dup_verify_threshold: float | None = None,
+                benchmark: DataFrame | None = None,
+                decontam_ngram: int = 13,
+                pii_scrub: bool = False) -> None:
     from ..functions.text import (
         BPE_PRETOKEN_REGEX,
         GOPHER_WS,
@@ -192,10 +195,31 @@ def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
     # then derive the sample from the CHECKPOINTED frame — deriving it from
     # the raw plan would re-run the anti-join against the ever-growing
     # hashes table a second time per batch (blocks reclaimed after fold)
+    if benchmark is not None:
+        # decontam mirrors the batch stage order (after dedup, before
+        # quality); content-based and benchmark-fixed, so a crash replay
+        # recomputes the identical drop set
+        from ..operators.decontam import decontaminate
+
+        contaminated = decontaminate(
+            deduped, benchmark, id_col="doc_id", text_col="text",
+            n=decontam_ngram,
+        ).filter(F.col("contaminated")).select("doc_id")
+        deduped = deduped.join(contaminated, "doc_id", "left_anti")
     passed = deduped.filter(
         gopher_quality_cols(F.col("text"))["keep"]
     ).localCheckpoint(eager=True)
-    docs = hash_sample(passed, "doc_id", sample_fraction)
+    if pii_scrub:
+        # after quality (batch parity): dedup hashes stay md5 of the RAW
+        # text (passed._h is committed unchanged below) while docs/token
+        # stats — and the online near-dup index — see scrubbed text, the
+        # same view compaction would re-shingle
+        from ..functions.pii import redact_pii_col
+
+        scrubbed = passed.withColumn("text", redact_pii_col(F.col("text")))
+    else:
+        scrubbed = passed
+    docs = hash_sample(scrubbed, "doc_id", sample_fraction)
 
     gid = F.lit(f"b{batch_id}")
     survivor_buckets = None
@@ -304,9 +328,18 @@ def stream_documents_to_curation(
     near_dup_online: bool = False,
     near_dup_max_dist: float = 0.2,
     near_dup_verify_threshold: float | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = 13,
+    pii_scrub: bool = False,
 ):
     """foreachBatch curation sink over a (doc_id, text, …) document stream.
     Returns the started StreamingQuery.
+
+    ``benchmark`` / ``decontam_ngram`` / ``pii_scrub`` are the streaming
+    twins of datapipe.curate's opt-in stages, applied in the same order
+    (decontam after dedup before quality; PII redaction after quality, so
+    token stats count scrubbed text). The benchmark frame must be a static
+    DataFrame — it is re-broadcast per micro-batch.
 
     ``near_dup_online=True`` maintains a persisted banded MinHash bucket
     index as stream state and drops each batch's near-dups of the already-
@@ -325,7 +358,9 @@ def stream_documents_to_curation(
         _fold_batch(batch_df, store, dataset_id, batch_id, sample_fraction,
                     near_dup_online=near_dup_online,
                     near_dup_max_dist=near_dup_max_dist,
-                    near_dup_verify_threshold=near_dup_verify_threshold)
+                    near_dup_verify_threshold=near_dup_verify_threshold,
+                    benchmark=benchmark, decontam_ngram=decontam_ngram,
+                    pii_scrub=pii_scrub)
 
     writer = (
         docs_stream.writeStream.outputMode("append").foreachBatch(fold)

@@ -849,3 +849,63 @@ def test_stream_curation_online_near_dup(spark, tmp_path):
     # knob off: near-dups are admitted (deferred-to-compaction behavior)
     _, kept_off = run("nd0")
     assert {"d10", "d20", "d22"} <= kept_off
+
+
+def test_stream_curation_decontam_pii_matches_batch(spark, tmp_path):
+    """Streaming decontam + PII twins == datapipe.curate with the same knobs
+    on the same docs (batches in doc_id order): identical accepted ids AND
+    identical redacted text."""
+    from knowledge_graph_rag_spark.plans import datapipe
+    from knowledge_graph_rag_spark.sources.graph_store import GraphStore
+    from knowledge_graph_rag_spark.streaming.curation import (
+        read_curated,
+        stream_documents_to_curation,
+    )
+
+    bench_txt = ("held out benchmark evaluation question about adaptive "
+                 "shuffle partition tuning strategies")
+    rows = [
+        ("d00", "the quick brown fox jumps over the lazy dog near the "
+                "river bank while herons watch from the reeds"),
+        ("d01", "leaked copy of the held out benchmark evaluation question "
+                "about adaptive shuffle partition tuning for training"),
+        ("d02", "contact the maintainer at owner@example.org for any "
+                "questions about this plainly written document"),
+        ("d03", "a completely separate document describing parquet row "
+                "groups and predicate pushdown in steady prose"),
+        ("d04", "broadcast joins and adaptive query execution explained "
+                "in some depth with steady cadence and plain words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("b1", bench_txt)], "doc_id string, text string"
+    )
+
+    bstore = GraphStore(spark, str(tmp_path / "bwh"))
+    datapipe.curate(spark, docs, bstore, dataset_id="b", near_dup_max_dist=0.2,
+                    benchmark=bench, decontam_ngram=3, pii_scrub=True)
+    batch = {r.doc_id: r.text
+             for r in bstore.read("dp_b_sample").collect()}
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for i, chunk in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        spark.createDataFrame(chunk, "doc_id string, text string").coalesce(
+            1
+        ).write.parquet(str(drop / f"part{i:02d}"))
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop) + "/part*")
+    )
+    sstore = GraphStore(spark, str(tmp_path / "swh"))
+    q = stream_documents_to_curation(
+        stream, sstore, "s", checkpoint_dir=str(tmp_path / "ckpt"),
+        benchmark=bench, decontam_ngram=3, pii_scrub=True,
+    )
+    q.awaitTermination(240)
+    streamed = {r.doc_id: r.text for r in read_curated(sstore, "s").collect()}
+    assert streamed == batch
+    assert "d01" not in streamed                       # decontam drop
+    assert "<EMAIL>" in streamed["d02"]                # redacted
+    assert "owner@example.org" not in streamed["d02"]
