@@ -2524,6 +2524,50 @@ def simhash_band_profile(spark, sf_dir):
     ).orderBy("band")
 
 
+@q(
+    "lm_quality_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), v AS (
+      SELECT count(DISTINCT t) AS v FROM (
+        SELECT unnest(w) AS t FROM toks
+      )
+    ), bi AS MATERIALIZED (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest([ {'w1': w[i], 'w2': w[i+1]}
+                        FOR i IN range(1, len(w)) ]) AS b
+        FROM toks WHERE len(w) >= 2
+      )
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS c1 FROM bi GROUP BY w1
+    ), scored AS (
+      SELECT doc_id, -ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v)) AS nll
+      FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(nll), 4) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_quality_scores(spark, sf_dir):
+    """CCNet-style LM quality (operators.lmscore.bigram_lm_scores): per-doc
+    average negative log probability under the corpus's own add-0.5 bigram
+    model — the deterministic, second-engine-reproducible stand-in for
+    KenLM perplexity ranking. The oracle recomputes the full model (bigram
+    + prefix counts, vocabulary size, ln arithmetic) in DuckDB and the
+    rounded floats hash-match."""
+    from ..operators.lmscore import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
 # === embeddings: similarity search ===========================================
 
 

@@ -114,3 +114,47 @@ def test_train_val_test_split_matches_python_md5(spark):
         else:
             want = "test"
         assert got[k] == want, (k, b)
+
+
+def test_bigram_lm_scores_match_python_and_rank_gibberish(spark):
+    """avg_nll equals a pure-python add-k bigram model to 1e-9 (pre-round),
+    and a doc of corpus-atypical transitions scores strictly higher than a
+    corpus-typical one."""
+    import math
+    from collections import Counter
+
+    from knowledge_graph_rag_spark.operators.lmscore import bigram_lm_scores
+
+    rng = random.Random(5)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "fast"]
+    # corpus-typical docs: markov-ish chains over a small pattern
+    rows = [
+        (i, " ".join("the cat sat on the mat".split() * rng.randrange(1, 4)))
+        for i in range(20)
+    ]
+    rows.append((100, " ".join(rng.choice(vocab) for _ in range(24))))  # shuffled
+    rows.append((101, "mat fast ran dog zzz qqq"))                       # atypical
+    rows.append((102, "single"))                                         # no bigrams
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in bigram_lm_scores(df, round_digits=9).collect()}
+
+    # python oracle
+    def toks(t):
+        return [x for x in re.split(r"\W+", t.lower()) if x]
+
+    all_toks = [toks(t) for _, t in rows]
+    V = len({w for ws in all_toks for w in ws})
+    bis = [(ws[i], ws[i + 1]) for ws in all_toks for i in range(len(ws) - 1)]
+    c2, c1 = Counter(bis), Counter(w1 for w1, _ in bis)
+    for (i, t), ws in zip(rows, all_toks):
+        if len(ws) < 2:
+            assert i not in got
+            continue
+        nlls = [
+            -math.log((c2[(a, b)] + 0.5) / (c1[a] + 0.5 * V))
+            for a, b in zip(ws, ws[1:])
+        ]
+        assert got[i].n_bigrams == len(nlls)
+        assert abs(got[i].avg_nll - sum(nlls) / len(nlls)) < 1e-9, i
+    # fluency ranking: typical << atypical
+    assert got[0].avg_nll < got[101].avg_nll
