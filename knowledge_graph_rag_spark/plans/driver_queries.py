@@ -3662,22 +3662,23 @@ _ROWS_ONLY = {
 _DRIVER_ENTRIES: tuple[str, ...] = (
     # KG / LLM-pipeline / ANN entries first. r05 rotation (second pass): IN —
     # curation_funnel + kg_predicate_summary + the four early-r05 entries
-    # (see git history), THEN the seven late-r05 additions, none of which
+    # (see git history), THEN the nine late-r05 additions, none of which
     # had ever been driver-hash-verified: bm25_search_docs, tfidf_top_terms,
     # benchmark_decontamination, pii_redaction_stats, kcore_membership,
-    # dup_cluster_components, train_val_test_stats (all TRUE cross-engine
-    # oracles). OUT to extended — template_* / winnow_passage_pairs /
-    # ml_anomaly_flags / graph_anomaly_detect_all / docpack_attack_surface
-    # (first pass), then ivf_topk_ann / entity_pagerank /
-    # minhash_surface_candidates / media_span_manifest / doc_file_sources /
-    # kg_node_summary / hash_sampled_docs (second pass — every one
-    # driver-hash-proven in r04's CORRECTNESS, and train_val_test_stats
-    # pins the same md5-bucket machinery hash_sampled_docs did; the local
-    # gate still checks them all).
+    # dup_cluster_components, train_val_test_stats, lm_quality_scores (all
+    # TRUE cross-engine oracles) and simhash_band_profile (frozen). OUT to
+    # extended — template_* / winnow_passage_pairs / ml_anomaly_flags /
+    # graph_anomaly_detect_all / docpack_attack_surface (first pass), then
+    # ivf_topk_ann / entity_pagerank / minhash_surface_candidates /
+    # media_span_manifest / doc_file_sources / kg_node_summary /
+    # hash_sampled_docs / knn_bruteforce / set_ops_summary (second pass —
+    # every one driver-hash-proven in r04 or earlier, and
+    # train_val_test_stats pins the same md5-bucket machinery
+    # hash_sampled_docs did; the local gate still checks them all).
     "kg_triples",
     "ngram_jaccard_pairs",
     "verified_ngram_pairs",
-    "knn_bruteforce",
+    "lm_quality_scores",
     "bm25_search_docs",
     "tfidf_top_terms",
     "benchmark_decontamination",
@@ -3704,7 +3705,7 @@ _DRIVER_ENTRIES: tuple[str, ...] = (
     "hourly_activity",
     "cumulative_user_spend",
     "session_counts",
-    "set_ops_summary",
+    "simhash_band_profile",
     "users_without_big_purchase",
     "pricing_summary",
     "shipping_priority",

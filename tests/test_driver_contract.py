@@ -23,7 +23,7 @@ def test_driver_window_is_exactly_50():
     assert first[0] == "kg_triples"
     assert {
         "ngram_jaccard_pairs",
-        "knn_bruteforce",
+        "lm_quality_scores",
         "bm25_search_docs",
         "benchmark_decontamination",
         "pii_redaction_stats",
