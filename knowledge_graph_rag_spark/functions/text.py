@@ -61,6 +61,20 @@ def word_tokens_col(col: Column) -> Column:
     return F.filter(F.split(cleaned, r"\s+"), lambda w: w != F.lit(""))
 
 
+def wsplit_tokens_col(col: Column) -> Column:
+    """THE ``\\W+`` tokenizer of the dedup / retrieval / LM / oracle family:
+    ``filter(split(lower(x), '\\W+'), t <> '')`` — array<string>.
+
+    CROSS-ENGINE CONTRACT: every DuckDB oracle in plans/driver_queries.py
+    that shingles, scores BM25/TF-IDF, or builds LM bigrams recomputes this
+    exact expression as ``list_filter(regexp_split_to_array(lower(text),
+    '\\W+'), x -> x <> '')`` — change this helper ONLY together with every
+    one of those oracles, or the driver gate goes red. (Distinct from
+    ``word_tokens_col`` above, which is the reference's punctuation-strip
+    tokenizer and is pinned by different tests.)"""
+    return F.filter(F.split(F.lower(col), r"\W+"), lambda t: t != F.lit(""))
+
+
 def truncate_col(col: Column, max_length: int = 10000) -> Column:
     """Cap text length before extraction (graph_extractor.py:511-514)."""
     return F.when(

@@ -73,7 +73,9 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     tokenization — O(len²) splits per row, measured 6× on the sf0.1 bench
     (17.5 s → 2.5 s). Catalyst's CollapseProject keeps the projection
     because the non-cheap alias is referenced more than once."""
-    w = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != F.lit(""))
+    from ..functions.text import wsplit_tokens_col
+
+    w = wsplit_tokens_col(F.col(text_col))
     toks = df.select(F.col(id_col).alias("id"), w.alias("w")).filter(
         F.size("w") >= n
     )
@@ -171,7 +173,9 @@ def verify_pairs_exact_jaccard(
     the shingle stream and no UDF. Unlike ngram_jaccard_pairs (which finds
     pairs from scratch under a df cap), this computes the UNFILTERED exact
     Jaccard of the two full shingle sets."""
-    w = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != F.lit(""))
+    from ..functions.text import wsplit_tokens_col
+
+    w = wsplit_tokens_col(F.col(text_col))
     # token array materialized before the gram lambda reads it with F.get —
     # inlining the split there re-evaluates the regex per element (see
     # word_shingles)
@@ -394,6 +398,26 @@ def _cap_band_buckets(bands: DataFrame, keys: list[str], cap: int) -> DataFrame:
     return bands.join(big.select(*keys), keys, "left_anti")
 
 
+def simhash_band_structs(sh_col) -> "F.Column":
+    """THE 4×16-bit banding of a 64-bit simhash, as an array of
+    (band, key) structs — explode it to get one row per band. Single
+    definition shared by simhash_pairs, embedding_cosine_pairs and the
+    simhash_band_profile driver entry, so the frozen profile literal
+    really pins the blocking scheme the operators use (pigeonhole: any
+    pair within Hamming ≤ 3 shares at least one identical band)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(sh_col, i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str = "id", text_col: str = "text",
     max_hamming: int = 3, band_cap: int = 256,
@@ -416,18 +440,7 @@ def simhash_pairs(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
     ).localCheckpoint(eager=False)
     bands = hashed.select(
-        "id", "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bk"),
+        "id", "sh", F.explode(simhash_band_structs(F.col("sh"))).alias("bk")
     ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     bands = _cap_band_buckets(bands, ["band", "key"], band_cap)
     a, b = bands.alias("a"), bands.alias("b")
@@ -459,20 +472,7 @@ def embedding_cosine_pairs(
         simhash64(F.col(text_col)).alias("sh"),
     )
     bands = emb.select(
-        "id", "emb",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("sh", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bk"),
+        "id", "emb", F.explode(simhash_band_structs(F.col("sh"))).alias("bk")
     ).select("id", "emb", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     bands = _cap_band_buckets(bands, ["band", "key"], band_cap)
     a, b = bands.alias("a"), bands.alias("b")

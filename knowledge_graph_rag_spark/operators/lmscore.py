@@ -12,10 +12,12 @@ ln-arithmetic included).
 
 Scale shape: tokens → per-doc bigram stream (native transform/explode, no
 UDF, multiplicity preserved); two corpus-wide count tables (bigram and
-prefix counts — plain hash aggregations, unbounded vocabulary, joined on
-the token keys, NEVER broadcast or collected); vocabulary size and the
+prefix counts — the prefix table derives from the aggregated bigram
+counts, never a second corpus pass — unbounded vocabulary, joined on the
+token keys, NEVER broadcast or collected); vocabulary size and the
 smoothing constant ride along as a broadcast 1-row aggregate; one final
-per-doc aggregation. Three shuffles total, all on keys Catalyst chooses.
+per-doc aggregation. The bigram stream is checkpointed, so the corpus is
+tokenized exactly once.
 """
 
 from __future__ import annotations
@@ -33,10 +35,11 @@ def bigram_lm_scores(
     P(w2|w1) = (c(w1 w2) + k) / (c(w1·) + k·V), V = corpus vocabulary.
     Lower = more typical of the corpus. Documents with fewer than two
     tokens have no bigrams and are excluded (they cannot be scored)."""
-    w = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: t != F.lit("")
+    from ..functions.text import wsplit_tokens_col
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), wsplit_tokens_col(F.col(text_col)).alias("w")
     )
-    toks = docs.select(F.col(id_col).alias("id"), w.alias("w"))
     # vocabulary over ALL tokens (single-token docs included)
     vocab = toks.select(F.explode("w").alias("t")).agg(
         F.countDistinct("t").alias("v")
@@ -50,13 +53,19 @@ def bigram_lm_scores(
             x.alias("w1"), F.get(F.col("w"), i + 1).alias("w2")
         ),
     )
+    # the tokenize+explode bigram stream feeds the count aggregation AND the
+    # final scoring join — checkpoint it so the corpus is tokenized ONCE
+    # (house style: dedup.ngram_jaccard_pairs' grouped table)
     bi = (
         toks.filter(F.size("w") >= 2)
         .select("id", F.explode(pairs).alias("p"))
         .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .localCheckpoint(eager=False)
     )
     c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    # prefix counts derive from the ALREADY-AGGREGATED bigram counts
+    # (c(w1·) = Σ_w2 c(w1 w2)) — a tiny table, never a second corpus pass
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     nll = -F.log(
         (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
     )

@@ -244,10 +244,11 @@ def bm25_topk(
     qterms = sorted({t for t in _re.split(r"\W+", query.lower()) if t})
     if not qterms:
         raise ValueError("query has no searchable terms")
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: t != F.lit("")
+    from ..functions.text import wsplit_tokens_col
+
+    base = docs.select(
+        F.col(id_col).alias("id"), wsplit_tokens_col(F.col(text_col)).alias("w")
     )
-    base = docs.select(F.col(id_col).alias("id"), toks.alias("w"))
     lens = base.select("id", F.size("w").alias("dl"))
     consts = lens.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")

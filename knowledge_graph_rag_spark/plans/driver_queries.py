@@ -39,7 +39,9 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _tokens(col):
-    return F.filter(F.split(F.lower(col), r"\W+"), lambda w: w != F.lit(""))
+    from ..functions.text import wsplit_tokens_col
+
+    return wsplit_tokens_col(col)
 
 
 # === events: per-key aggregation templates (A11-A17 shapes) =================
@@ -2493,25 +2495,12 @@ def simhash_band_profile(spark, sf_dir):
     Integer-only, so the result freezes cleanly as a VALUES literal
     (tools/freeze_oracles.py) — driver-gate coverage for the simhash
     operator family, whose hash values no second engine can recompute."""
-    from ..operators.dedup import simhash64
+    from ..operators.dedup import simhash64, simhash_band_structs
 
     docs = _t(spark, sf_dir, "documents")
     hashed = docs.select("doc_id", simhash64(F.col("text")).alias("sh"))
     bands = hashed.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("sh", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bk"),
+        "doc_id", F.explode(simhash_band_structs(F.col("sh"))).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     per_bucket = bands.groupBy("band", "key").agg(F.count("*").alias("sz"))
     return per_bucket.groupBy("band").agg(

@@ -198,9 +198,13 @@ def _fold_batch(batch_df: DataFrame, store: GraphStore, dataset_id: str,
     if benchmark is not None:
         # decontam mirrors the batch stage order (after dedup, before
         # quality); content-based and benchmark-fixed, so a crash replay
-        # recomputes the identical drop set
+        # recomputes the identical drop set. deduped feeds BOTH the shingle
+        # branch and the anti-join's left side — checkpoint it so the
+        # dedup window + ever-growing hashes anti-join run once per batch,
+        # not twice
         from ..operators.decontam import decontaminate
 
+        deduped = deduped.localCheckpoint(eager=True)
         contaminated = decontaminate(
             deduped, benchmark, id_col="doc_id", text_col="text",
             n=decontam_ngram,
