@@ -2557,6 +2557,50 @@ def lm_quality_scores(spark, sf_dir):
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "lexical_diversity_scores",
+    """
+    WITH tf AS (
+      SELECT doc_id, t, count(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                  x -> x <> '')) AS t
+        FROM documents
+      ) GROUP BY doc_id, t
+    )
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_types,
+           round(count(*) * 1.0 / sum(c), 4) AS ttr,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+    FROM tf GROUP BY doc_id
+    """,
+)
+def lexical_diversity_scores(spark, sf_dir):
+    """Lexical-diversity quality signals (the Gopher-family repetition
+    complement): per-doc type-token ratio and Shannon entropy of the
+    within-doc token distribution — H = ln(n) − (Σ c·ln c)/n, computed from
+    one (doc, token) count aggregation (two shuffles total: the tf table
+    and the per-doc rollup). A doc that repeats one phrase collapses to low
+    entropy/TTR; both engines reproduce the ln arithmetic bit-for-bit after
+    rounding (same precedent as BM25 / LM scoring)."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    return tf.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(F.count("*") / n, 4).alias("ttr"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 4
+        ).alias("entropy"),
+    )
+
+
 # === embeddings: similarity search ===========================================
 
 

@@ -158,3 +158,41 @@ def test_bigram_lm_scores_match_python_and_rank_gibberish(spark):
         assert abs(got[i].avg_nll - sum(nlls) / len(nlls)) < 1e-9, i
     # fluency ranking: typical << atypical
     assert got[0].avg_nll < got[101].avg_nll
+
+
+def test_lexical_diversity_matches_python_and_ranks_repetition(spark):
+    """Per-doc TTR and token entropy equal the python computation to 1e-9
+    (pre-round), and a one-phrase-repeated doc scores strictly lower on
+    both than a diverse doc."""
+    import math
+    from collections import Counter
+
+    from knowledge_graph_rag_spark.plans.driver_queries import (
+        lexical_diversity_scores,
+    )
+
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam"),
+        (1, "eight entirely distinct words compose this varied sentence"),
+        (2, "half half varied tokens appear appear in here"),
+    ]
+    import shutil, tempfile
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {r.doc_id: r for r in lexical_diversity_scores(spark, tmp).collect()}
+    shutil.rmtree(tmp)
+
+    for i, t in rows:
+        c = Counter(re.split(r"\W+", t.lower()))
+        c.pop("", None)
+        n = sum(c.values())
+        ttr = len(c) / n
+        ent = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        assert got[i].n_tokens == n and got[i].n_types == len(c)
+        assert abs(got[i].ttr - round(ttr, 4)) < 1e-9, i
+        assert abs(got[i].entropy - round(ent, 4)) < 1e-9, i
+    assert got[0].entropy < got[2].entropy < got[1].entropy
+    assert got[0].ttr < got[1].ttr
