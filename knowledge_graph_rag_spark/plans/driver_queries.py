@@ -3704,7 +3704,8 @@ _DRIVER_ENTRIES: tuple[str, ...] = (
     # graph_anomaly_detect_all / docpack_attack_surface (first pass), then
     # ivf_topk_ann / entity_pagerank / minhash_surface_candidates /
     # media_span_manifest / doc_file_sources / kg_node_summary /
-    # hash_sampled_docs / knn_bruteforce / set_ops_summary (second pass —
+    # hash_sampled_docs / knn_bruteforce / set_ops_summary /
+    # events_pivot_counts (second pass —
     # every one driver-hash-proven in r04 or earlier, and
     # train_val_test_stats pins the same md5-bucket machinery
     # hash_sampled_docs did; the local gate still checks them all).
@@ -3712,6 +3713,7 @@ _DRIVER_ENTRIES: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "verified_ngram_pairs",
     "lm_quality_scores",
+    "lexical_diversity_scores",
     "bm25_search_docs",
     "tfidf_top_terms",
     "benchmark_decontamination",
@@ -3743,7 +3745,6 @@ _DRIVER_ENTRIES: tuple[str, ...] = (
     "pricing_summary",
     "shipping_priority",
     "events_rollup",
-    "events_pivot_counts",
     "per_user_traffic_stats",
     "exfiltration_rollup",
     "fanout_users",
