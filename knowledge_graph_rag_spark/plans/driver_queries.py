@@ -2601,6 +2601,54 @@ def lexical_diversity_scores(spark, sf_dir):
     )
 
 
+@q(
+    "clustering_coefficients",
+    """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT least(l_orderkey % 30000, l_partkey % 30000) AS u,
+                      greatest(l_orderkey % 30000, l_partkey % 30000) AS v
+      FROM lineitem
+      WHERE l_orderkey % 30000 <> l_partkey % 30000 AND l_suppkey % 3 = 0
+    ), deg AS (
+      SELECT n, count(*)::BIGINT AS d FROM (
+        SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0
+      ) GROUP BY n
+    ), tri AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e0 e1
+      JOIN e0 e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e0 e3 ON e3.u = e1.v AND e3.v = e2.v
+    ), tn AS (
+      SELECT n, count(*)::BIGINT AS t FROM (
+        SELECT unnest([a, b, c]) AS n FROM tri
+      ) GROUP BY n
+    )
+    SELECT deg.n AS node_id, deg.d AS degree,
+           coalesce(tn.t, 0)::BIGINT AS triangles,
+           round(CASE WHEN deg.d >= 2
+                      THEN 2.0 * coalesce(tn.t, 0) / (deg.d * (deg.d - 1))
+                      ELSE 0.0 END, 4) AS coeff
+    FROM deg LEFT JOIN tn ON tn.n = deg.n
+    """,
+)
+def clustering_coefficients(spark, sf_dir):
+    """Per-node local clustering coefficients (operators.graphalgs.
+    local_clustering — degree-ordered wedge enumeration with an INNER
+    closing join that surfaces every triangle once as its three corners)
+    over the same sparse lineitem projection the k-core entry peels. The
+    oracle attributes triangles from an id-ordered 3-way self-join (each
+    triangle appears exactly once as u<v<w, unnested to all three nodes) —
+    any total order agrees with the degree order by construction."""
+    from ..operators.graphalgs import local_clustering
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 3 == 0)
+    edges = li.select(
+        (F.col("l_orderkey") % 30000).alias("src"),
+        (F.col("l_partkey") % 30000).alias("dst"),
+    )
+    return local_clustering(edges)
+
+
 # === embeddings: similarity search ===========================================
 
 
@@ -3705,7 +3753,7 @@ _DRIVER_ENTRIES: tuple[str, ...] = (
     # ivf_topk_ann / entity_pagerank / minhash_surface_candidates /
     # media_span_manifest / doc_file_sources / kg_node_summary /
     # hash_sampled_docs / knn_bruteforce / set_ops_summary /
-    # events_pivot_counts (second pass —
+    # events_pivot_counts / first_event_per_user (second pass —
     # every one driver-hash-proven in r04 or earlier, and
     # train_val_test_stats pins the same md5-bucket machinery
     # hash_sampled_docs did; the local gate still checks them all).
@@ -3714,6 +3762,7 @@ _DRIVER_ENTRIES: tuple[str, ...] = (
     "verified_ngram_pairs",
     "lm_quality_scores",
     "lexical_diversity_scores",
+    "clustering_coefficients",
     "bm25_search_docs",
     "tfidf_top_terms",
     "benchmark_decontamination",
@@ -3735,7 +3784,6 @@ _DRIVER_ENTRIES: tuple[str, ...] = (
     "topology",
     "share_of_total",
     "degree_spikes",
-    "first_event_per_user",
     "top3_types_per_user",
     "hourly_activity",
     "cumulative_user_spend",

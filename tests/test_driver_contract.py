@@ -19,7 +19,7 @@ def test_driver_window_is_exactly_50():
         assert sql.strip().upper().startswith(("SELECT", "WITH")), name
     # newest / previously-unverified entries lead the window (r05 second
     # rotation: the late-r05 TRUE-oracle additions hold the head slots)
-    first = list(qs)[:12]
+    first = list(qs)[:15]
     assert first[0] == "kg_triples"
     assert {
         "ngram_jaccard_pairs",

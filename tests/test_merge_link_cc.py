@@ -330,3 +330,46 @@ def test_kcore_leaves_no_pinned_storage(spark):
             break
         time.sleep(0.5)
     assert not (pinned_ids() & created)
+
+
+def test_local_clustering_vs_bruteforce(spark):
+    """Per-node triangle counts and clustering coefficients equal an
+    itertools brute force on K4 (all coeff 1), a star (all 0), and a seeded
+    random graph; robust to duplicate/reversed/self-loop edges."""
+    import itertools
+    import random
+
+    from knowledge_graph_rag_spark.operators.graphalgs import local_clustering
+
+    def brute(edge_list):
+        adj = {}
+        for u, v in edge_list:
+            if u != v:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+        out = {}
+        for n, nbrs in adj.items():
+            d = len(nbrs)
+            t = sum(
+                1 for a, b in itertools.combinations(sorted(nbrs), 2)
+                if b in adj.get(a, ())
+            )
+            c = round(2.0 * t / (d * (d - 1)), 4) if d >= 2 else 0.0
+            out[n] = (d, t, c)
+        return out
+
+    k4 = [(a, b) for a, b in itertools.combinations("abcd", 2)]
+    star = [("hub", f"s{i}") for i in range(6)]
+    random.seed(31)
+    rnd = [
+        (f"n{random.randrange(25)}", f"n{random.randrange(25)}")
+        for _ in range(110)
+    ]
+    noisy = k4 + [(b, a) for a, b in k4] + [("a", "a")] + k4[:2]
+    for edge_list in (k4, star, rnd, noisy):
+        df = spark.createDataFrame(edge_list, "src string, dst string")
+        got = {
+            r.node_id: (r.degree, r.triangles, r.coeff)
+            for r in local_clustering(df).collect()
+        }
+        assert got == brute(edge_list), edge_list[:4]
