@@ -38,10 +38,12 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "knn_bruteforce",
     # r05 second pass: the two new scan-shaped operator families join the
-    # headline (decontam: shingle+broadcast overlap; pii: pure regexp scan).
+    # headline (decontam: shingle+broadcast overlap; pii: pure regexp scan),
+    # plus one iterationless graph analytic (wedge-enumeration family).
     # Totals grow with coverage — compare per-query values across rounds.
     "benchmark_decontamination",
     "pii_redaction_stats",
+    "clustering_coefficients",
 ]
 
 

@@ -207,6 +207,26 @@ def main() -> None:
         plan_of(_kcore_one_round(spark, SF)),
     ))
 
+    sections.append((
+        "lm_quality_scores (corpus bigram LM, CCNet-style)",
+        "The checkpointed bigram stream feeds the count aggregation and the "
+        "scoring join once; prefix counts derive from the AGGREGATED bigram "
+        "counts (c(w1·) = Σ_w2 c(w1 w2)) — never a second corpus pass; "
+        "vocabulary size rides as a broadcast 1-row aggregate. Count tables "
+        "join on token keys (unbounded vocabulary, no broadcast, no "
+        "collect).",
+        plan_of(DQ.extended_queries()["lm_quality_scores"](spark, SF)),
+    ))
+
+    sections.append((
+        "clustering_coefficients (per-node triangles, iterationless)",
+        "Degree-ordered wedge enumeration with an INNER closing join that "
+        "keeps the wedge corner: every triangle surfaces once as its three "
+        "corners, one explode attributes it per node — the same "
+        "last-reducer-curse defense as triangle_count, no iteration.",
+        plan_of(DQ.extended_queries()["clustering_coefficients"](spark, SF)),
+    ))
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (`explain(\"formatted\")`)\n\n"
