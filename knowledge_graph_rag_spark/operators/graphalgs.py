@@ -87,6 +87,50 @@ def pagerank(
     return ranks.select("node_id", F.col("rank").cast("double").alias("rank"))
 
 
+def _oriented_edges(edges: DataFrame, src: str, dst: str):
+    """Shared front half of the wedge-enumeration family (triangle_count,
+    local_clustering): canonical distinct undirected edges, per-node
+    degrees, and every edge oriented low→high (degree, node) rank —
+    the Suri-Vassilvitskii skew defense. Returns ``(e, deg, oriented)``;
+    all three are lazily checkpointed (each feeds multiple consumers).
+    ONE definition so a future skew/ordering fix cannot drift between the
+    two ops."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    ru = deg.select(F.col("n").alias("u"), F.struct("d", "n").alias("rank_u"))
+    rv = deg.select(F.col("n").alias("v"), F.struct("d", "n").alias("rank_v"))
+    oriented = (
+        e.join(ru, "u")
+        .join(rv, "v")
+        .select(
+            F.when(F.col("rank_u") < F.col("rank_v"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("a"),
+            F.when(F.col("rank_u") < F.col("rank_v"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("b"),
+            F.when(F.col("rank_u") < F.col("rank_v"), F.col("rank_v"))
+            .otherwise(F.col("rank_u"))
+            .alias("rank_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return e, deg, oriented
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -105,42 +149,10 @@ def triangle_count(
     lowest-rank vertex under a total order, so it is counted exactly once;
     any total order yields the same count, which is what lets an id-ordered
     plain-SQL oracle pin this degree-ordered plan. Three hash joins + two
-    aggregations, no driver state, no iteration."""
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds degrees + orientation + close
-    )
-    deg = (
-        e.select(F.col("u").alias("n"))
-        .unionAll(e.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
-    ru = deg.select(F.col("n").alias("u"), F.struct("d", "n").alias("rank_u"))
-    rv = deg.select(F.col("n").alias("v"), F.struct("d", "n").alias("rank_v"))
-    oriented = (
-        e.join(ru, "u")
-        .join(rv, "v")
-        .select(
-            F.when(F.col("rank_u") < F.col("rank_v"), F.col("u"))
-            .otherwise(F.col("v"))
-            .alias("a"),
-            F.when(F.col("rank_u") < F.col("rank_v"), F.col("v"))
-            .otherwise(F.col("u"))
-            .alias("b"),
-            F.when(F.col("rank_u") < F.col("rank_v"), F.col("rank_v"))
-            .otherwise(F.col("rank_u"))
-            .alias("rank_b"),
-        )
-        # oriented is consumed THREE times (both wedge sides + the closing
-        # semi-join): checkpoint it so the degree agg + orientation joins
-        # run once, not per consumer (e's checkpoint alone only dedups the
-        # canonicalization scan)
-        .localCheckpoint(eager=False)
-    )
+    aggregations, no driver state, no iteration. Canonicalization /
+    degrees / orientation are shared with local_clustering via
+    _oriented_edges."""
+    _, _, oriented = _oriented_edges(edges, src, dst)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(e2, F.col("e1.a") == F.col("e2.a")).filter(
         F.col("e1.rank_b") < F.col("e2.rank_b")
@@ -220,40 +232,9 @@ def local_clustering(
     defense), but the closing join is an INNER join that keeps the wedge
     corner, so every triangle surfaces exactly once as its three corners
     and one explode attributes it to each — no per-node iteration, three
-    hash joins + three aggregations."""
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .filter(F.col("u") != F.col("v"))
-        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds degrees + orientation + close
-    )
-    deg = (
-        e.select(F.col("u").alias("n"))
-        .unionAll(e.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-        .localCheckpoint(eager=False)  # feeds orientation + the final join
-    )
-    ru = deg.select(F.col("n").alias("u"), F.struct("d", "n").alias("rank_u"))
-    rv = deg.select(F.col("n").alias("v"), F.struct("d", "n").alias("rank_v"))
-    oriented = (
-        e.join(ru, "u")
-        .join(rv, "v")
-        .select(
-            F.when(F.col("rank_u") < F.col("rank_v"), F.col("u"))
-            .otherwise(F.col("v"))
-            .alias("a"),
-            F.when(F.col("rank_u") < F.col("rank_v"), F.col("v"))
-            .otherwise(F.col("u"))
-            .alias("b"),
-            F.when(F.col("rank_u") < F.col("rank_v"), F.col("rank_v"))
-            .otherwise(F.col("rank_u"))
-            .alias("rank_b"),
-        )
-        .localCheckpoint(eager=False)  # wedge sides + closing edge set
-    )
+    hash joins + three aggregations. Canonicalization / degrees /
+    orientation are shared with triangle_count via _oriented_edges."""
+    _, deg, oriented = _oriented_edges(edges, src, dst)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(e2, F.col("e1.a") == F.col("e2.a")).filter(
         F.col("e1.rank_b") < F.col("e2.rank_b")

@@ -160,7 +160,7 @@ def test_bigram_lm_scores_match_python_and_rank_gibberish(spark):
     assert got[0].avg_nll < got[101].avg_nll
 
 
-def test_lexical_diversity_matches_python_and_ranks_repetition(spark):
+def test_lexical_diversity_matches_python_and_ranks_repetition(spark, tmp_path):
     """Per-doc TTR and token entropy equal the python computation to 1e-9
     (pre-round), and a one-phrase-repeated doc scores strictly lower on
     both than a diverse doc."""
@@ -176,14 +176,14 @@ def test_lexical_diversity_matches_python_and_ranks_repetition(spark):
         (1, "eight entirely distinct words compose this varied sentence"),
         (2, "half half varied tokens appear appear in here"),
     ]
-    import shutil, tempfile
-    tmp = tempfile.mkdtemp()
     spark.createDataFrame(
         [(i, t, "en", "s", len(t)) for i, t in rows],
         "doc_id long, text string, lang string, source string, n_chars long",
-    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
-    got = {r.doc_id: r for r in lexical_diversity_scores(spark, tmp).collect()}
-    shutil.rmtree(tmp)
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in lexical_diversity_scores(spark, str(tmp_path)).collect()
+    }
 
     for i, t in rows:
         c = Counter(re.split(r"\W+", t.lower()))
