@@ -144,3 +144,49 @@ def train_val_test_split(
         cum += weights[name]
         expr = expr.when(bucket < int(cum * _BUCKETS), name)
     return df.withColumn(split_col, expr.otherwise(names[-1]))
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Doc-atomic greedy sequence packing: documents are laid out in
+    deterministic md5(salt+key) order and grouped into training sequences
+    of ~``budget`` tokens — the standard "pack short documents into
+    fixed-length training rows" step. Adds ``seq_id`` (which sequence the
+    doc belongs to) and ``seq_pos`` (its 0-based position inside it).
+
+    Assignment rule (ONE window, engine-reproducible — the oracle pins it):
+    ``seq_id = floor(exclusive_running_sum(tokens) / budget)`` over the
+    hash order — a document belongs to the sequence its FIRST token lands
+    in, never split mid-document, so a sequence can overflow the budget by
+    at most its last document (and a doc longer than the budget spans its
+    own sequence ids without splitting; the window it spills into may
+    underfill — the CUMULATIVE token stream always tiles the budget grid,
+    which is the invariant the pytest pins). Deterministic and partition-
+    independent (same hash-priority machinery as token_budget_sample), but
+    NOT append-stable — packing is inherently order-global, so adding docs
+    re-cuts sequences; pack per frozen corpus snapshot.
+
+    One global sort (the running-sum window) — at 100 TB pack per
+    language/shard partition (partitionBy the window) to keep sequences
+    shard-local and the sort distributed.
+    """
+    from pyspark.sql import Window
+
+    pri = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    order = [pri, F.col(key_col).cast("string")]
+    w = Window.orderBy(*order)
+    cum_excl = F.coalesce(
+        F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    seq = F.floor(cum_excl / F.lit(budget)).cast("long")
+    wseq = Window.partitionBy("seq_id").orderBy(*order)
+    return (
+        df.withColumn("seq_id", seq)
+        .withColumn("seq_pos", F.row_number().over(wseq) - 1)
+    )

@@ -2649,6 +2649,49 @@ def clustering_coefficients(spark, sf_dir):
     return local_clustering(edges)
 
 
+@q(
+    "sequence_packing_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                             x -> x <> ''))::BIGINT AS toks,
+             md5(doc_id::VARCHAR) AS pri
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, toks,
+             (coalesce(sum(toks) OVER (
+                ORDER BY pri, doc_id::VARCHAR
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // 2000)::BIGINT AS seq_id
+      FROM toks
+    )
+    SELECT seq_id, count(*) AS n_docs, sum(toks)::BIGINT AS seq_tokens,
+           round(sum(toks) / 2000.0, 4) AS fill
+    FROM packed GROUP BY seq_id
+    """,
+)
+def sequence_packing_stats(spark, sf_dir):
+    """Training-sequence packing audit (operators.sampling.pack_sequences):
+    docs laid out in md5(doc_id) order and cut into ~2000-token doc-atomic
+    sequences — seq_id = floor(exclusive running token sum / budget), the
+    one-window rule both engines reproduce exactly. Per-sequence doc
+    counts, token totals, and fill ratio; overflow is bounded by one doc
+    per boundary by construction."""
+    from ..operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(_tokens(F.col("text"))).cast("long")
+    packed = pack_sequences(
+        docs.select("doc_id", toks.alias("toks")), "doc_id", "toks", 2000
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("seq_tokens"),
+        F.round(F.sum("toks") / 2000.0, 4).alias("fill"),
+    )
+
+
 # === embeddings: similarity search ===========================================
 
 

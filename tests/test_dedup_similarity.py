@@ -1028,3 +1028,51 @@ def test_minhash_index_probe_distance_filter(spark, tmp_path):
     assert not any(p == 11 for p, _ in filt)
     # bucket_cap: capping at 0 kills every bucket -> no candidates at all
     assert DD.minhash_index_probe(probes, path, bucket_cap=0).count() == 0
+
+
+def test_pack_sequences_semantics(spark):
+    """Packing is doc-atomic, budget-bounded modulo the boundary doc,
+    position-dense per sequence, deterministic under repartitioning, and
+    matches a python greedy walk of the same hash order."""
+    import hashlib
+
+    from knowledge_graph_rag_spark.operators import sampling as SP
+
+    rows = [(f"d{i:03d}", 100 + (i * 37) % 400) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, toks long")
+    out = SP.pack_sequences(df, "doc_id", "toks", budget=1000)
+    got = {r.doc_id: (r.seq_id, r.seq_pos) for r in out.collect()}
+
+    # python oracle: same md5 order, floor(exclusive cumsum / budget)
+    order = sorted(rows, key=lambda r: (hashlib.md5(r[0].encode()).hexdigest(), r[0]))
+    cum, want = 0, {}
+    pos: dict[int, int] = {}
+    for k, t in order:
+        sid = cum // 1000
+        want[k] = (sid, pos.get(sid, 0))
+        pos[sid] = pos.get(sid, 0) + 1
+        cum += t
+    assert got == want
+
+    # concat-and-cut invariant: the doc stream tiles the budget windows, so
+    # the CUMULATIVE tokens of sequences 0..sid reach (sid+1)*budget
+    # whenever any later sequence exists (an individual sequence may
+    # underfill when the previous window's last doc spills into it)
+    by_seq: dict[int, int] = {}
+    for k, t in rows:
+        by_seq[got[k][0]] = by_seq.get(got[k][0], 0) + t
+    last = max(by_seq)
+    cum_tot = 0
+    for sid in sorted(by_seq):
+        cum_tot += by_seq[sid]
+        if sid != last:
+            assert cum_tot >= (sid + 1) * 1000, sid
+
+    # partition-layout independence
+    got2 = {
+        r.doc_id: (r.seq_id, r.seq_pos)
+        for r in SP.pack_sequences(
+            df.repartition(13), "doc_id", "toks", budget=1000
+        ).collect()
+    }
+    assert got2 == got
