@@ -255,3 +255,35 @@ def language_id_col(text: Column) -> Column:
         .when(s["de"] >= 2, "de")
         .otherwise("unknown")
     )
+
+
+#: URL domain extraction — the Java-regex/RE2-identical subset (same
+#: cross-engine contract as functions/pii.py): DuckDB oracles recompute it
+#: as regexp_extract_all(text, <pattern>, 1).
+URL_DOMAIN_REGEX = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_domains_col(col: Column) -> Column:
+    """array<string> of lowercased URL hostnames found in the text — the
+    domain-level signal curation uses for blocklists and per-source stats.
+    Screening extraction (scheme + host, no userinfo/port parsing) — the
+    standard corpus-filter trade-off, like the PII patterns."""
+    return F.transform(
+        F.regexp_extract_all(col, F.lit(URL_DOMAIN_REGEX), F.lit(1)),
+        F.lower,
+    )
+
+
+def domain_blocked_col(domains: Column, blocklist: list[str]) -> Column:
+    """True when ANY extracted domain matches the blocklist exactly or as a
+    registrable-suffix ('ads.example.com' matches blocked 'example.com').
+    The blocklist is a literal (curation blocklists are small and shipped
+    with the job); for web-scale lists join against a broadcast frame
+    instead."""
+    def hit(d: Column) -> Column:
+        c = F.lit(False)
+        for b in blocklist:
+            c = c | (d == F.lit(b)) | d.endswith(F.lit("." + b))
+        return c
+
+    return F.exists(domains, hit)

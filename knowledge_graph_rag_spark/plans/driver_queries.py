@@ -2692,6 +2692,77 @@ def sequence_packing_stats(spark, sf_dir):
     )
 
 
+@q(
+    "url_domain_stats",
+    """
+    WITH planted AS (
+      SELECT doc_id,
+        text || ' see https://'
+             || CASE WHEN doc_id % 2 = 1 THEN upper(dom) ELSE dom END
+             || '/p/' || doc_id
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' http://cdn.' || dom || '/x' ELSE '' END AS t
+      FROM (
+        SELECT doc_id, text,
+               'site' || (doc_id % 23) || '.ex' || (doc_id % 3) || '.org'
+                 AS dom
+        FROM documents
+      )
+    ), doms AS (
+      SELECT doc_id,
+             lower(unnest(regexp_extract_all(
+               t, 'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+      FROM planted
+    )
+    SELECT domain, count(DISTINCT doc_id) AS n_docs,
+           count(*)::BIGINT AS n_urls,
+           (domain = 'site5.ex0.org' OR domain LIKE '%.site5.ex0.org'
+            OR domain = 'ex2.org' OR domain LIKE '%.ex2.org') AS blocked
+    FROM doms GROUP BY domain
+    """,
+)
+def url_domain_stats(spark, sf_dir):
+    """Domain-level source accounting + blocklist flags (functions.text.
+    url_domains_col / domain_blocked_col): hostnames regexp-extracted from
+    text (one narrow codegen stage), lowercased, exploded, rolled up per
+    domain with exact-or-registrable-suffix blocklist matching ('ex2.org'
+    blocks every *.ex2.org). The synthetic corpus has no URLs, so both
+    engines plant identical deterministic ones (mixed-case hosts exercise
+    the normalization); the oracle recomputes extraction and the suffix
+    rule in RE2/SQL."""
+    from ..functions.text import domain_blocked_col, url_domains_col
+
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    dom = F.concat(
+        F.lit("site"), s(d % 23), F.lit(".ex"), s(d % 3), F.lit(".org")
+    )
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" see https://"),
+        F.when(d % 2 == 1, F.upper(dom)).otherwise(dom),
+        F.lit("/p/"), s(d),
+        F.when(
+            d % 4 == 0, F.concat(F.lit(" http://cdn."), dom, F.lit("/x"))
+        ).otherwise(F.lit("")),
+    )
+    blocklist = ["site5.ex0.org", "ex2.org"]
+    doms = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(url_domains_col(planted)).alias("domain"))
+    )
+    return doms.groupBy("domain").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_urls"),
+        F.first(
+            domain_blocked_col(F.array(F.col("domain")), blocklist)
+        ).alias("blocked"),
+    )
+
+
 # === embeddings: similarity search ===========================================
 
 

@@ -92,3 +92,39 @@ def test_count_cols_match_redaction_replacements(spark):
         ).collect()
         for r in got:
             assert r["n"] == r["n_tokens"], cls
+
+
+def test_url_domains_and_blocklist(spark):
+    """Domain extraction truth table (lowercasing, multiple URLs, no-URL
+    docs) and exact-vs-suffix blocklist semantics ('bad.org' blocks
+    x.bad.org but never xbad.org)."""
+    from knowledge_graph_rag_spark.functions.text import (
+        domain_blocked_col,
+        url_domains_col,
+    )
+
+    rows = [
+        (1, "see https://A.Example.COM/path and http://cdn.example.com/x"),
+        (2, "plain text with no links at all"),
+        (3, "scheme-less www.example.com is not extracted"),
+        (4, "ftp://not.this.one but https://ok.bad.org/y"),
+        (5, "edge https://xbad.org/z stays unblocked (no dot boundary)"),
+        (6, "exact https://bad.org/q is blocked"),
+    ]
+    df = spark.createDataFrame(rows, "i int, text string")
+    out = {
+        r.i: (list(r.doms), r.blocked)
+        for r in df.select(
+            "i",
+            url_domains_col(F.col("text")).alias("doms"),
+            domain_blocked_col(
+                url_domains_col(F.col("text")), ["bad.org"]
+            ).alias("blocked"),
+        ).collect()
+    }
+    assert out[1] == (["a.example.com", "cdn.example.com"], False)
+    assert out[2] == ([], False)
+    assert out[3] == ([], False)
+    assert out[4] == (["ok.bad.org"], True)
+    assert out[5] == (["xbad.org"], False)
+    assert out[6] == (["bad.org"], True)
