@@ -3867,7 +3867,8 @@ _DRIVER_ENTRIES: tuple[str, ...] = (
     # ivf_topk_ann / entity_pagerank / minhash_surface_candidates /
     # media_span_manifest / doc_file_sources / kg_node_summary /
     # hash_sampled_docs / knn_bruteforce / set_ops_summary /
-    # events_pivot_counts / first_event_per_user (second pass —
+    # events_pivot_counts / first_event_per_user / fanout_users /
+    # suspicious_type_hits (second pass —
     # every one driver-hash-proven in r04 or earlier, and
     # train_val_test_stats pins the same md5-bucket machinery
     # hash_sampled_docs did; the local gate still checks them all).
@@ -3877,6 +3878,8 @@ _DRIVER_ENTRIES: tuple[str, ...] = (
     "lm_quality_scores",
     "lexical_diversity_scores",
     "clustering_coefficients",
+    "sequence_packing_stats",
+    "url_domain_stats",
     "bm25_search_docs",
     "tfidf_top_terms",
     "benchmark_decontamination",
@@ -3909,8 +3912,6 @@ _DRIVER_ENTRIES: tuple[str, ...] = (
     "events_rollup",
     "per_user_traffic_stats",
     "exfiltration_rollup",
-    "fanout_users",
-    "suspicious_type_hits",
     "hourly_scan_bursts",
     "sentence_stats",
     "keywords_topk",
