@@ -65,33 +65,46 @@ def dedup_exact(df: DataFrame, id_col: str = "id", text_col: str = "text") -> Da
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct word n-grams — native transform/slice, no UDF.
+    """(id, shingle) distinct word n-grams — native transform/slice, no UDF,
+    and (r06) NO shuffle: dedup is a per-row ``array_distinct`` before the
+    explode instead of a global ``.distinct()``. The (id, shingle) output is
+    still globally distinct because each id owns exactly one input row —
+    the dedup-family contract (``id`` is the caller's unique document key,
+    the same assumption every consumer already makes). Dropping the
+    distinct removes a full Exchange + two-sided hash agg of the entire
+    shingle stream from every consumer (ngram Jaccard, decontamination,
+    MinHash featurization).
 
     The token array is MATERIALIZED as a projected column before the gram
     lambda reads it via F.get: if the split expression were inlined there,
     each per-element F.get(w, i+k) would re-evaluate the full regex
     tokenization — O(len²) splits per row, measured 6× on the sf0.1 bench
     (17.5 s → 2.5 s). Catalyst's CollapseProject keeps the projection
-    because the non-cheap alias is referenced more than once."""
+    because the non-cheap alias is referenced more than once.
+
+    The old ``size(w) >= n`` pre-filter is gone for the same reason the
+    r05 lesson predicts: the optimizer pushed it below the token projection
+    and re-evaluated the full tokenization once in the Filter and again in
+    the Project (both visible in the r06 sf1.0 decontam plan). A
+    ``greatest(size - (n-1), 0)`` slice bound gives short docs an empty
+    gram array — same rows out, one tokenization per row instead of two."""
     from ..functions.text import wsplit_tokens_col
 
     w = wsplit_tokens_col(F.col(text_col))
-    toks = df.select(F.col(id_col).alias("id"), w.alias("w")).filter(
-        F.size("w") >= n
-    )
+    toks = df.select(F.col(id_col).alias("id"), w.alias("w"))
     grams = F.transform(
-        F.slice(F.col("w"), 1, F.size("w") - (n - 1)),
+        F.slice(F.col("w"), 1, F.greatest(F.size("w") - (n - 1), F.lit(0))),
         lambda x, i: F.concat_ws(
             " ", *([x] + [F.get(F.col("w"), i + k) for k in range(1, n)])
         ),
     )
-    return toks.select("id", F.explode(grams).alias("shingle")).distinct()
+    return toks.select("id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "id", text_col: str = "text",
     n: int = 3, threshold: float = 0.8, max_df: int = 100,
-    round_digits: int = 4,
+    round_digits: int = 4, pair_partitions: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over word n-gram shingle sets.
 
@@ -110,7 +123,23 @@ def ngram_jaccard_pairs(
     r03 flag) and a collect_set-then-filter single pass (reducer OOM on the
     hot key). Pair generation is bucket-explode (sorted collect_set per
     shingle → native combination expansion), not a self-join: one shuffle
-    fewer and id_a < id_b holds by construction."""
+    fewer and id_a < id_b holds by construction.
+
+    r06 restructure (guide §2.4/§3): per-doc set sizes ride INSIDE the pair
+    stream instead of being joined back onto it. The old shape aggregated
+    (id_a, id_b) pairs and then joined two per-doc ``sizes`` frames onto the
+    O(Σ df²) pair aggregate — with unknown stats on the checkpointed
+    intermediate the planner broadcast the PAIR side (measured 67M rows,
+    ~seconds of single-threaded HashedRelation build at sf1.0, and a
+    driver-OOM at scale), while hinting sizes instead is the r04-flagged
+    unbounded broadcast. Now a second window (partitionBy(id), one Exchange
+    of the capped shingle stream — O(corpus), spill-backed) attaches ``sz``
+    to every (id, shingle) row BEFORE bucketing, the bucket arrays collect
+    (id, sz) structs, pair expansion emits sizes alongside ids, and the
+    jaccard filter runs straight on the pair aggregate: ZERO joins below
+    the quadratic stream, nothing unbounded is ever broadcast, and the
+    only O(Σ df²) operation left is the one hash aggregation the
+    intersection count fundamentally requires."""
     from pyspark.sql import Window
 
     sh = word_shingles(df, id_col, text_col, n)
@@ -118,42 +147,56 @@ def ngram_jaccard_pairs(
     sh_ok = sh.withColumn("df", F.count("*").over(w)).filter(
         F.col("df") <= max_df
     ).drop("df")
-    # grouped feeds TWO subtrees (sizes + pair expansion) — checkpoint so the
-    # scan→explode→window pipeline runs once, not per branch (localCheckpoint:
-    # blocks reclaimed by the ContextCleaner once the result is dropped)
-    grouped = sh_ok.groupBy("shingle").agg(
-        F.sort_array(F.collect_set("id")).alias("ids")
-    ).localCheckpoint(eager=False)
-    # per-doc filtered-set sizes derive from the grouped arrays (each ≤
-    # max_df elements — bounded explode), NOT from a third scan of the raw
-    # shingle stream: one shingle materialization feeds sizes AND buckets
-    sizes = (
-        grouped.select(F.explode("ids").alias("id"))
-        .groupBy("id")
-        .agg(F.count("*").alias("sz"))
+    wid = Window.partitionBy("id")
+    sized = sh_ok.withColumn("sz", F.count("*").over(wid))
+    grouped = sized.groupBy("shingle").agg(
+        F.sort_array(F.collect_set(F.struct("id", "sz"))).alias("ids")
     )
-    buckets = grouped.filter(F.size("ids") >= 2)
+    # The bucket-array frame is tiny in BYTES (one row per distinct capped
+    # shingle) but quadratically large in WORK (each row explodes into
+    # C(df, 2) pairs) — AQE sizes stages by bytes, so left alone it
+    # coalesces this stage down to one or two tasks that then emit tens of
+    # millions of pair rows single-threaded. Spread the buckets round-robin
+    # across the cluster before the explode.
+    sc = df.sparkSession.sparkContext
+    n_pair_parts = pair_partitions or 4 * sc.defaultParallelism
+    buckets = grouped.filter(F.size("ids") >= 2).repartition(
+        sc.defaultParallelism
+    )
     ids = F.col("ids")
     combos = F.flatten(
         F.transform(
             ids,
             lambda x, i: F.transform(
                 F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"), x["sz"].alias("sz_a"),
+                    y["id"].alias("id_b"), y["sz"].alias("sz_b"),
+                ),
             ),
         )
     )
+    # Hash-repartition the raw pair stream WIDER than shuffle.partitions and
+    # let the groupBy reuse that partitioning (same keys → no second
+    # Exchange). Two reasons (guide §2.5/§5): (1) map-side partial
+    # aggregation is useless here (measured 71M pair occurrences → 67M
+    # distinct pairs at sf1.0 — near-zero reduction) yet would build a
+    # multi-million-entry hash map per map task, which spills; skipping
+    # straight to the exchange makes the map side a pure stream. (2) the
+    # reduce-side aggregate state is O(distinct pairs) — at the default 32
+    # partitions each final task held ~2M × 48 B groups and spilled
+    # (unstable 14-33 s runs); 4× cluster width bounds per-task state, and
+    # ``pair_partitions`` lets a 100 TB caller size it from data volume.
     inter = (
         buckets.select(F.explode(combos).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .select("p.id_a", "p.id_b", "p.sz_a", "p.sz_b")
+        .repartition(n_pair_parts, "id_a", "id_b", "sz_a", "sz_b")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("isect"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("isect") / (F.col("sz_a") + F.col("sz_b") - F.col("isect"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .filter(jac >= threshold)
+        inter.filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, round_digits).alias("jaccard"))
     )
 

@@ -44,6 +44,27 @@ def _tokens(col):
     return wsplit_tokens_col(col)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin rebalance straight after a narrow scan, sized to the
+    cluster (``defaultParallelism`` — never a constant), for entries whose
+    per-row work dwarfs their input bytes.
+
+    Why (r06, guide §2.5 "input skew"): the driver-provided tables are
+    single-file parquet with ONE row group (verified for every sf1.0 table
+    except lineitem's 6), and a row group is the atomic split unit — so no
+    matter how small ``spark.sql.files.maxPartitionBytes`` is, the scan and
+    every narrow operator fused onto it run as ONE task. Measured: the
+    decontamination shingle stage ran 7.4 s in 1 task while 31 sat idle.
+    The repartition costs one pass of the (few-MB) raw bytes and unlocks
+    full-width parallelism for the regex/HOF/explode work downstream. On a
+    real deployment with properly laid-out multi-row-group files the same
+    rebalance is one cheap extra pass, and it self-sizes to the cluster.
+    Only applied to entries with integer/count aggregates — float-sum
+    entries keep their scan order so accumulation order (and thus rounding)
+    is untouched."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # === events: per-key aggregation templates (A11-A17 shapes) =================
 
 
@@ -1158,7 +1179,7 @@ _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 )
 def keywords_topk(spark, sf_dir):
     """P8 keyword extraction: token explode + top-k by frequency."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return (
         docs.select(
             F.explode(
@@ -1210,14 +1231,18 @@ def _marker_sql(lang: str) -> str:
 def language_detect(spark, sf_dir):
     """P8 language-ID (text_processors.py:154-196): marker-word counts with
     fixed precedence en > es > fr > de, ≥2 hits required."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
+    docs = _spread(_t(spark, sf_dir, "documents"))
 
     def score(lang):
         markers = F.array(*[F.lit(m) for m in _MARKERS[lang]])
-        return F.size(F.filter(toks, lambda w: F.array_contains(markers, w)))
+        return F.size(F.filter(F.col("toks"), lambda w: F.array_contains(markers, w)))
 
-    scored = docs.select(
+    # materialize the whitespace split ONCE as a projected column: the four
+    # marker scores are higher-order filters (codegen-fallback, no
+    # subexpression elimination), so inlining `toks` would re-run the regex
+    # split 4× per row (the r05 word_shingles lesson, same fix)
+    toked = docs.select(F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
+    scored = toked.select(
         score("en").alias("s_en"), score("es").alias("s_es"),
         score("fr").alias("s_fr"), score("de").alias("s_de"),
     )
@@ -1705,7 +1730,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     remaining scale-killer plan (r04 verdict #1)."""
     from ..operators.dedup import ngram_jaccard_pairs as lib_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return lib_pairs(
         docs, id_col="doc_id", text_col="text",
         n=3, threshold=0.12, max_df=100, round_digits=3,
@@ -2031,7 +2056,7 @@ def benchmark_decontamination(spark, sf_dir):
     over identical grams."""
     from ..operators.decontam import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corp = docs.filter(F.col("doc_id") % 97 != 0)
     out = decontaminate(corp, bench, id_col="doc_id", text_col="text", n=3)
@@ -2126,7 +2151,7 @@ def pii_redaction_stats(spark, sf_dir):
         ).otherwise(F.lit("")),
         F.when(d % 11 == 0, F.lit(" tel +1-555-123-4567")).otherwise(F.lit("")),
     )
-    docs = _t(spark, sf_dir, "documents").select("lang", planted.alias("t"))
+    docs = _spread(_t(spark, sf_dir, "documents")).select("lang", planted.alias("t"))
     counts = pii_count_cols(F.col("t"))
     scored = docs.select(
         "lang",
@@ -2785,26 +2810,32 @@ def url_domain_stats(spark, sf_dir):
 def knn_bruteforce(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline: JVM-side zip_with/aggregate dot
     product, rank window. Rounded BEFORE ranking so both engines break ties
-    identically."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    identically.
+
+    r06 shape notes: the element-wise double cast is one native array Cast
+    (codegen) instead of a per-element HOF transform; each side's L2 norm is
+    a projected column computed ONCE per vector (the r05 pre-fix shape
+    re-derived both norms per PAIR — candidate norms 5×, inside interpreted
+    higher-order aggregates), so per-pair work is just the dot product."""
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    emb = _spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).select("vec_id", "e", norm(F.col("e")).alias("en"))
     qs = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("en").alias("qn"),
     )
     dot = F.aggregate(
         F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     pairs = (
         F.broadcast(qs)
         .join(emb, F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(dot / (norm(F.col("qe")) * norm(F.col("e"))), 4))
+        .withColumn("cosine", F.round(dot / (F.col("qn") * F.col("en")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
