@@ -242,7 +242,18 @@ def extract_raw(spans: DataFrame) -> DataFrame:
     text_spans = spans.filter(F.col("kind") == "text").select(
         "doc_id", "span_order", "text"
     )
-    return text_spans.mapInPandas(run, schema=_EXTRACT_SCHEMA)
+    # Merge over-fine scan splits to ~2 tasks per core before the Python
+    # boundary (narrow coalesce — no shuffle, no-op when the input is
+    # already at or below the target). Callers tune
+    # spark.sql.files.maxPartitionBytes down so CPU-dense corpora aren't
+    # capped by split count, but past ~2×cluster-width the extra tasks are
+    # pure overhead: at the sf1.0 bench the 96 KB splits produced 512 tasks
+    # of ~12 ms of regex work each, and per-task scheduling + Arrow
+    # round-trip dwarfed the extraction itself (measured 4.2 s for ~6 s of
+    # single-core Python work on 32 cores). Guide §2.2: fewer, larger map
+    # tasks; §4: amortize the Python-worker round trip per task.
+    target = 2 * spans.sparkSession.sparkContext.defaultParallelism
+    return text_spans.coalesce(target).mapInPandas(run, schema=_EXTRACT_SCHEMA)
 
 
 # --- dictionary DataFrames (broadcast sides) --------------------------------

@@ -222,29 +222,38 @@ def multi_stage(spark, sf_dir):
 )
 def exploit_preparation(spark, sf_dir):
     """A17 flagship shape: two-level agg + per-key top-N window + struct-free
-    focus ratio + CASE + top-k (cypher_query_service.py:282-317)."""
+    focus ratio + CASE + top-k (cypher_query_service.py:282-317).
+
+    r06 single-pass shape (guide §2.4): the old form derived ``per_user``
+    and the windowed ``top2`` as two separate subtrees of ``tc`` — the
+    events scan + (user_id, event_type) aggregation ran TWICE and the
+    results met again in a semi-join plus an inner join. Per-user totals
+    are now window aggregates over the SAME user_id partitioning the rank
+    window already needs (one Window exchange, zero extra — §2.4: window
+    keyed like the following aggregation shares its shuffle), and the
+    final groupBy(user_id) reuses that partitioning too: one scan, two
+    exchanges, no joins. Identical arithmetic, identical tie-breaks."""
     events = _t(spark, sf_dir, "events")
     tc = events.groupBy("user_id", "event_type").agg(F.count("*").alias("type_count"))
-    per_user = (
-        tc.groupBy("user_id")
-        .agg(
-            F.count("*").alias("distinct_types"),
-            F.sum("type_count").alias("total_events"),
-        )
-        .filter((F.col("distinct_types") >= 4) & (F.col("total_events") >= 50))
-    )
-    w = Window.partitionBy("user_id").orderBy(F.desc("type_count"), "event_type")
-    top2 = (
-        tc.join(per_user.select("user_id"), "user_id", "left_semi")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 2)
-        .groupBy("user_id")
-        .agg(F.sum("type_count").alias("top2_count"))
+    wagg = Window.partitionBy("user_id")
+    wrank = Window.partitionBy("user_id").orderBy(F.desc("type_count"), "event_type")
+    enriched = tc.select(
+        "user_id",
+        "type_count",
+        F.count("*").over(wagg).alias("distinct_types"),
+        F.sum("type_count").over(wagg).alias("total_events"),
+        F.row_number().over(wrank).alias("rn"),
+    ).filter((F.col("distinct_types") >= 4) & (F.col("total_events") >= 50))
+    per_user = enriched.groupBy("user_id").agg(
+        F.max("distinct_types").alias("distinct_types"),
+        F.max("total_events").alias("total_events"),
+        F.sum(F.when(F.col("rn") <= 2, F.col("type_count")).otherwise(F.lit(0))).alias(
+            "top2_count"
+        ),
     )
     ratio = F.round(F.lit(100.0) * F.col("top2_count") / F.col("total_events")) / 100.0
     return (
-        per_user.join(top2, "user_id")
-        .withColumn("focus_ratio", ratio)
+        per_user.withColumn("focus_ratio", ratio)
         .filter(F.col("focus_ratio") >= 0.4)
         .withColumn(
             "threat_level",
@@ -361,10 +370,19 @@ def first_event_per_user(spark, sf_dir):
     """,
 )
 def top3_types_per_user(spark, sf_dir):
-    """W1: per-key top-3 by count (the exploit_preparation inner window)."""
+    """W1: per-key top-3 by count (the exploit_preparation inner window).
+
+    r06: ONE exchange — hash-repartition the scan by user_id; both the
+    (user_id, event_type) aggregation (partitioning on a subset of the
+    grouping keys satisfies its distribution) and the user_id rank window
+    reuse it (guide §2.4). The old plan paid a single-task partial agg on
+    the one-row-group scan, an Exchange on (user_id, event_type), and a
+    SECOND Exchange on user_id for the window."""
     w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), "event_type")
+    sc = spark.sparkContext
     return (
         _t(spark, sf_dir, "events")
+        .repartition(sc.defaultParallelism, "user_id")
         .groupBy("user_id", "event_type")
         .agg(F.count("*").alias("cnt"))
         .withColumn("rn", F.row_number().over(w))
