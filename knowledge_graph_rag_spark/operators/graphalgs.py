@@ -92,7 +92,12 @@ def _oriented_edges(edges: DataFrame, src: str, dst: str):
     local_clustering): canonical distinct undirected edges, per-node
     degrees, and every edge oriented low→high (degree, node) rank —
     the Suri-Vassilvitskii skew defense. Returns ``(e, deg, oriented)``;
-    all three are lazily checkpointed (each feeds multiple consumers).
+    all three are lazily checkpointed (each feeds multiple consumers —
+    r06 note: lazy checkpoint consumers compiled into concurrent stages can
+    race the block-cache materialization and duplicate the upstream scan,
+    but the duplicated stages overlap on idle cores and measured FASTER
+    end-to-end at sf1.0 than the serialized eager form, 5.1 s vs 6.0 s —
+    so lazy stays deliberately).
     ONE definition so a future skew/ordering fix cannot drift between the
     two ops."""
     e = (

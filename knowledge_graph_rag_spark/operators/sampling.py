@@ -71,21 +71,76 @@ def token_budget_sample(
     placement — hence which of them lands inside the budget — is not
     deterministic; run dedup_exact (or any key dedup) first.
 
-    Scale shape: one Exchange on the stratum + a per-stratum sort (the
-    window's spill-backed state) — the same cost class as any global
-    ranking; at extreme per-stratum cardinality swap in an approximate
-    quantile cut on the hash to pre-filter before the exact window."""
+    Scale shape (r06): the exact per-stratum window only ever sees ~one
+    budget's worth of rows. A bucket-granular pre-filter runs first: one
+    map-side-combinable aggregation of token totals per (stratum,
+    hash-bucket) — at most 65,536 rows per stratum regardless of corpus
+    size — a tiny cumulative window over it finds, per stratum, the first
+    bucket whose cumulative token total reaches the budget, and rows in
+    later buckets are dropped before the exact window. This is EXACT, not
+    approximate: the window priority IS the bucket value (ties broken by
+    key), so every dropped row sorts strictly after every survivor and the
+    survivors' exclusive running sums are unchanged; a doc in a bucket
+    past the cut has prior-tokens ≥ the cut bucket's cumulative total ≥
+    budget. Overshoot is ≤ one bucket (~1/65536 of the stratum). The cut
+    table is one row per BUDGETED stratum — bounded by the budget dict the
+    caller wrote, safe to broadcast. The one-reducer-per-stratum sort of
+    the naive form (an English stratum at 100 TB = one task sorting 10^11
+    rows) becomes a sort of ~budget-line survivors only."""
     from pyspark.sql import Window
 
     pr = hash_bucket(F.col(key_col))
+    budget = F.lit(None).cast("long")
+    for value, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == value, F.lit(b)).otherwise(budget)
+
+    # --- bucket-granular pre-cut (exact; see docstring). NULL keys hash to
+    # a NULL bucket which sorts FIRST in the exact window; map them to -1 so
+    # the cut arithmetic and the window agree on their position.
+    cs, cc = "_tbs_s", "_tbs_cut"  # collision-proof vs caller columns
+    while cs in df.columns:
+        cs += "_"
+    while cc in df.columns:
+        cc += "_"
+    sb = F.lit(None).cast("long")
+    for value, b in sorted(budgets.items()):
+        sb = F.when(F.col(cs) == value, F.lit(b)).otherwise(sb)
+    per_bucket = (
+        df.select(
+            F.col(strata_col).alias(cs),
+            F.coalesce(pr, F.lit(-1)).alias("_pb"),
+            F.col(tokens_col).alias("_pt"),
+        )
+        .groupBy(cs, "_pb")
+        .agg(F.sum("_pt").alias("_bt"))
+    )
+    wcum = (
+        Window.partitionBy(cs)
+        .orderBy("_pb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cuts = (
+        per_bucket.withColumn("_cum", F.sum("_bt").over(wcum))
+        .filter(F.col("_cum") >= sb)  # NULL budget -> no cut row (keep all)
+        .groupBy(cs)
+        .agg(F.min("_pb").alias(cc))
+    )
+    pre = (
+        df.join(
+            F.broadcast(cuts), F.col(strata_col) == F.col(cs), "left"
+        )
+        .filter(
+            F.col(cc).isNull()
+            | (F.coalesce(pr, F.lit(-1)) <= F.col(cc))
+        )
+        .drop(cs, cc)
+    )
+
     w = (
         Window.partitionBy(strata_col)
         .orderBy(pr, F.col(key_col).cast("string"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    budget = F.lit(None).cast("long")
-    for value, b in sorted(budgets.items()):
-        budget = F.when(F.col(strata_col) == value, F.lit(b)).otherwise(budget)
     running = F.coalesce(
         F.sum(F.col(tokens_col)).over(w), F.lit(0).cast("long")
     )
@@ -95,7 +150,7 @@ def token_budget_sample(
     while tmp in df.columns:
         tmp += "_"
     return (
-        df.withColumn(tmp, running)
+        pre.withColumn(tmp, running)
         .filter(budget.isNull() | (F.col(tmp) < budget))
         .drop(tmp)
     )
@@ -152,6 +207,7 @@ def pack_sequences(
     tokens_col: str,
     budget: int,
     salt: str = "",
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Doc-atomic greedy sequence packing: documents are laid out in
     deterministic md5(salt+key) order and grouped into training sequences
@@ -171,21 +227,32 @@ def pack_sequences(
     NOT append-stable — packing is inherently order-global, so adding docs
     re-cuts sequences; pack per frozen corpus snapshot.
 
-    One global sort (the running-sum window) — at 100 TB pack per
-    language/shard partition (partitionBy the window) to keep sequences
-    shard-local and the sort distributed.
+    Default is ONE global sort (the running-sum window) — fine for a
+    corpus snapshot that fits one reducer's spill budget, and the shape
+    the driver oracle pins. At 100 TB pass ``partition_col`` (language /
+    shard): both windows partition by it, the sort distributes across
+    shards, and ``seq_id`` becomes LOCAL to its shard — a sequence is
+    identified by ``(partition_col, seq_id)`` and never crosses shards
+    (which is what a training mix wants anyway: shard-local sequence
+    files). Same types, same per-shard semantics as the global form run
+    on each shard alone.
     """
     from pyspark.sql import Window
 
     pri = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     order = [pri, F.col(key_col).cast("string")]
-    w = Window.orderBy(*order)
+    if partition_col is None:
+        w = Window.orderBy(*order)
+        wseq_keys = ["seq_id"]
+    else:
+        w = Window.partitionBy(partition_col).orderBy(*order)
+        wseq_keys = [partition_col, "seq_id"]
     cum_excl = F.coalesce(
         F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
     seq = F.floor(cum_excl / F.lit(budget)).cast("long")
-    wseq = Window.partitionBy("seq_id").orderBy(*order)
+    wseq = Window.partitionBy(*wseq_keys).orderBy(*order)
     return (
         df.withColumn("seq_id", seq)
         .withColumn("seq_pos", F.row_number().over(wseq) - 1)

@@ -32,7 +32,9 @@ from .link import cosine_sim_col
 
 
 def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
+    # native array cast (one codegen Cast) — a per-element HOF transform is
+    # interpreted per element for the same result (r06, guide §4.1)
+    return col.cast("array<double>")
 
 
 def _cosine(a, b):
@@ -49,16 +51,29 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(query_id, neighbor_id, cosine, rank) exact top-k; queries broadcast."""
+    """(query_id, neighbor_id, cosine, rank) exact top-k; queries broadcast.
+
+    r06: each side's L2 norm is a projected column computed once per vector
+    — the old per-pair ``_cosine`` re-derived BOTH norms inside interpreted
+    higher-order aggregates for every (query, candidate) pair (queries × n
+    redundant norm evaluations). Same arithmetic, same rounding."""
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
     cand = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("e")
-    )
+    ).select("neighbor_id", "e", norm(F.col("e")).alias("en"))
     qs = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qe")
-    )
+    ).select("query_id", "qe", norm(F.col("qe")).alias("qn"))
     pairs = F.broadcast(qs).join(cand, F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.withColumn(
-        "cosine", F.round(_cosine(F.col("qe"), F.col("e")), 6)
+        "cosine",
+        F.round(
+            cosine_sim_col(F.col("qe"), F.col("e"))
+            / (F.col("qn") * F.col("en")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

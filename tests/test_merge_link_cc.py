@@ -248,7 +248,13 @@ def test_pagerank_leaves_no_pinned_storage(spark):
     del res
     # only the RDDs pagerank itself created must drain — other tests'
     # long-lived caches in the shared session are not this test's business
-    for _ in range(60):  # ContextCleaner runs async — poll, bounded
+    # ContextCleaner runs async — poll, bounded. r06 deflake (r05 verdict
+    # #4): 30 s was enough in isolation but flaked once under a 13-minute
+    # full-suite co-tenant load (226/227); the invariant is about EVENTUAL
+    # reclamation, so give the cleaner up to 120 s — the loop exits in a
+    # couple of iterations on a healthy run and only ever waits long when
+    # the host is saturated.
+    for _ in range(240):
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         if not (pinned_ids() & created):
