@@ -5,7 +5,7 @@ with a deterministic, fully vectorized pipeline:
 
   documents(doc_id, spans)
     → explode_spans                  (array_sort by offset + posexplode)
-    → extract_raw                    (scalar-iterator pandas UDF: gazetteer
+    → extract_raw                    (iterator mapInArrow: gazetteer
                                       mention scan + adjacency-pattern triples;
                                       regexes compiled once per Python worker)
     → resolve_triples                (broadcast alias join ×2, T4 canonical
@@ -24,7 +24,6 @@ import re
 from collections.abc import Iterator
 from functools import lru_cache
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -215,29 +214,72 @@ def chunk_spans(spans: DataFrame, chunk_size: int = 4000, overlap: int = 200,
     return short.unionByName(chunked)
 
 
-# --- raw extraction (the pandas-UDF site) -----------------------------------
+# --- raw extraction (the Python/Arrow site) -----------------------------------
 
 
 def extract_raw(spans: DataFrame) -> DataFrame:
-    """mapInPandas over text spans → per-span mention + raw-triple arrays.
+    """mapInArrow over text spans → per-span mention + raw-triple arrays.
 
-    Scalar-iterator form so the compiled alternation regexes are built once
-    per worker (SURVEY.md §7 "what's hard" b), then reused across all Arrow
+    Iterator form so the compiled alternation regexes are built once per
+    worker (SURVEY.md §7 "what's hard" b), then reused across all Arrow
     batches. Media spans are filtered out before the Python boundary.
-    """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "span_order": [], "mentions": [], "raw_triples": []}
-            for doc_id, span_order, text in zip(
-                pdf["doc_id"], pdf["span_order"], pdf["text"]
-            ):
+    r06: Arrow batches in and out (was mapInPandas). The extraction loop is
+    unchanged — per-row regex work IS the payload — but the nested output
+    (two list<struct> columns) is assembled as flat value arrays + offset
+    arrays (`ListArray.from_arrays` over `StructArray.from_arrays`), and
+    the pass-through columns reuse the INPUT batch's Arrow buffers
+    zero-copy. The old path built pandas object columns of Python tuple
+    lists and paid a per-element object→Arrow struct conversion on every
+    batch (guide §4.2: hand whole batches to native constructors).
+    """
+    import pyarrow as pa
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            texts = batch.column(2).to_pylist()
+            m_surface: list[str] = []
+            m_sent: list[int] = []
+            m_offsets = [0]
+            t_subj: list[str] = []
+            t_pred: list[str] = []
+            t_obj: list[str] = []
+            t_sent: list[int] = []
+            t_offsets = [0]
+            for text in texts:
                 mentions, triples = _extract_from_text(text)
-                out["doc_id"].append(doc_id)
-                out["span_order"].append(span_order)
-                out["mentions"].append(mentions)
-                out["raw_triples"].append(triples)
-            yield pd.DataFrame(out)
+                for surface, sidx in mentions:
+                    m_surface.append(surface)
+                    m_sent.append(sidx)
+                m_offsets.append(len(m_surface))
+                for subj, pred, obj, sidx in triples:
+                    t_subj.append(subj)
+                    t_pred.append(pred)
+                    t_obj.append(obj)
+                    t_sent.append(sidx)
+                t_offsets.append(len(t_subj))
+            mentions_arr = pa.ListArray.from_arrays(
+                pa.array(m_offsets, type=pa.int32()),
+                pa.StructArray.from_arrays(
+                    [pa.array(m_surface, type=pa.string()),
+                     pa.array(m_sent, type=pa.int32())],
+                    names=["surface", "sent_idx"],
+                ),
+            )
+            triples_arr = pa.ListArray.from_arrays(
+                pa.array(t_offsets, type=pa.int32()),
+                pa.StructArray.from_arrays(
+                    [pa.array(t_subj, type=pa.string()),
+                     pa.array(t_pred, type=pa.string()),
+                     pa.array(t_obj, type=pa.string()),
+                     pa.array(t_sent, type=pa.int32())],
+                    names=["subj_surface", "pred_raw", "obj_surface", "sent_idx"],
+                ),
+            )
+            yield pa.record_batch(
+                [batch.column(0), batch.column(1), mentions_arr, triples_arr],
+                names=["doc_id", "span_order", "mentions", "raw_triples"],
+            )
 
     text_spans = spans.filter(F.col("kind") == "text").select(
         "doc_id", "span_order", "text"
@@ -253,7 +295,7 @@ def extract_raw(spans: DataFrame) -> DataFrame:
     # single-core Python work on 32 cores). Guide §2.2: fewer, larger map
     # tasks; §4: amortize the Python-worker round trip per task.
     target = 2 * spans.sparkSession.sparkContext.defaultParallelism
-    return text_spans.coalesce(target).mapInPandas(run, schema=_EXTRACT_SCHEMA)
+    return text_spans.coalesce(target).mapInArrow(run, schema=_EXTRACT_SCHEMA)
 
 
 # --- dictionary DataFrames (broadcast sides) --------------------------------
