@@ -164,18 +164,15 @@ def ngram_jaccard_pairs(
         sc.defaultParallelism
     )
     ids = F.col("ids")
-    combos = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"), x["sz"].alias("sz_a"),
-                    y["id"].alias("id_b"), y["sz"].alias("sz_b"),
-                ),
-            ),
-        )
-    )
+    # Pair expansion as TWO stacked Generates (posexplode the bucket, then
+    # explode the tail slice) instead of one nested flatten/transform
+    # building the full C(df, 2) struct array per bucket row: higher-order
+    # functions are CodegenFallback, so the nested form interpreted the
+    # whole quadratic expansion AND materialized it as one array per
+    # bucket; two Generates pipeline inside one whole-stage-codegen stage
+    # with no intermediate array. Measured 6× on the explode stage at
+    # sf1.0 (1.6 s → 0.26 s for 71M pairs). Same pair set, same order
+    # guarantees (id_a < id_b from the sorted bucket array).
     # Hash-repartition the raw pair stream WIDER than shuffle.partitions and
     # let the groupBy reuse that partitioning (same keys → no second
     # Exchange). Two reasons (guide §2.5/§5): (1) map-side partial
@@ -187,10 +184,19 @@ def ngram_jaccard_pairs(
     # partitions each final task held ~2M × 48 B groups and spilled
     # (unstable 14-33 s runs); 4× cluster width bounds per-task state, and
     # ``pair_partitions`` lets a 100 TB caller size it from data volume.
+    pairs = (
+        buckets.select("ids", F.posexplode(ids).alias("i", "x"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("x.sz").alias("sz_a"),
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("y"),
+        )
+        .select("id_a", "sz_a", F.col("y.id").alias("id_b"), F.col("y.sz").alias("sz_b"))
+    )
     inter = (
-        buckets.select(F.explode(combos).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sz_a", "p.sz_b")
-        .repartition(n_pair_parts, "id_a", "id_b", "sz_a", "sz_b")
+        pairs.repartition(n_pair_parts, "id_a", "id_b", "sz_a", "sz_b")
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("isect"))
     )

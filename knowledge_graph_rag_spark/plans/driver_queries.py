@@ -2684,11 +2684,17 @@ def clustering_coefficients(spark, sf_dir):
     any total order agrees with the degree order by construction."""
     from ..operators.graphalgs import local_clustering
 
+    # coalesce the scan: lineitem has 6 row groups, but the bench session's
+    # 512 KB splits request 252 scan tasks — 246 of them read only footer
+    # bytes and still pay scheduling, twice (the op re-derives the edge
+    # frame under its lazy checkpoints). Narrow merge, no shuffle; a
+    # no-op when the scan is already at or below cluster width.
+    sc = spark.sparkContext
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 3 == 0)
     edges = li.select(
         (F.col("l_orderkey") % 30000).alias("src"),
         (F.col("l_partkey") % 30000).alias("dst"),
-    )
+    ).coalesce(sc.defaultParallelism)
     return local_clustering(edges)
 
 
