@@ -158,6 +158,10 @@ def triangle_count(
     degrees / orientation are shared with local_clustering via
     _oriented_edges."""
     _, _, oriented = _oriented_edges(edges, src, dst)
+    # (r06: a shuffle_hash hint on this self-join was A/B-tested interleaved
+    # at sf1.0 and measured a wash — the sorted 2M-edge sides are cheap —
+    # so it stays the planner's choice; the hint that matters is on the
+    # CLOSING join below, where the stream side is the quadratic one.)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(e2, F.col("e1.a") == F.col("e2.a")).filter(
         F.col("e1.rank_b") < F.col("e2.rank_b")
