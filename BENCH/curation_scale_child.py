@@ -20,6 +20,10 @@ import time
 
 def main() -> None:
     cores, n_docs = int(sys.argv[1]), int(sys.argv[2])
+    # optional 3rd arg (r06, r05 verdict #7): exact-Jaccard verify threshold
+    # for candidate pairs — measures the near_dup_verify_threshold knob's
+    # cost at scale. Absent (the harness default) = knob off, unchanged.
+    verify = float(sys.argv[3]) if len(sys.argv) > 3 else None
     from pyspark.sql import SparkSession
 
     spark = (
@@ -91,7 +95,8 @@ def main() -> None:
 
     def job() -> int:
         exact = DD.dedup_exact(docs, "doc_id", "text")
-        drops = _near_dup_drop_ids(exact, 0.2, "minhash")
+        drops = _near_dup_drop_ids(exact, 0.2, "minhash",
+                                   verify_threshold=verify)
         return exact.join(drops, "doc_id", "left_anti").count()
 
     job_small = DD.dedup_exact(docs.limit(512), "doc_id", "text")
