@@ -195,6 +195,19 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "sz_a", F.col("y.id").alias("id_b"), F.col("y.sz").alias("sz_b"))
     )
+    # Size filter (the classic length filter of the similarity-join
+    # literature), applied per occurrence BEFORE the pair exchange: even a
+    # full overlap (isect = min(sz)) caps jaccard at min/(sz_a+sz_b-min),
+    # so pairs below that cap can never pass and every occurrence of such
+    # a pair is dropped map-side. Exact, including in floating point:
+    # isect ≤ min with an exact integer denominator makes the real
+    # quotients ordered, and IEEE division is monotone, so the computed
+    # jaccard of a dropped pair is ≤ the computed cap < threshold. Prunes
+    # little on near-uniform doc lengths, a lot on mixed corpora.
+    _mn = F.least("sz_a", "sz_b")
+    pairs = pairs.filter(
+        _mn / (F.col("sz_a") + F.col("sz_b") - _mn) >= threshold
+    )
     inter = (
         pairs.repartition(n_pair_parts, "id_a", "id_b", "sz_a", "sz_b")
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
