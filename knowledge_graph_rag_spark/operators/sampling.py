@@ -97,6 +97,8 @@ def token_budget_sample(
     # --- bucket-granular pre-cut (exact; see docstring). NULL keys hash to
     # a NULL bucket which sorts FIRST in the exact window; map them to -1 so
     # the cut arithmetic and the window agree on their position.
+    if not budgets:  # nothing budgeted → nothing to cut (and isin() needs args)
+        return df
     cs, cc = "_tbs_s", "_tbs_cut"  # collision-proof vs caller columns
     while cs in df.columns:
         cs += "_"
@@ -106,7 +108,10 @@ def token_budget_sample(
     for value, b in sorted(budgets.items()):
         sb = F.when(F.col(cs) == value, F.lit(b)).otherwise(sb)
     per_bucket = (
-        df.select(
+        # only BUDGETED strata need a cut — unbudgeted ones are kept whole,
+        # so their rows skip the bucket aggregation entirely
+        df.filter(F.col(strata_col).isin(*budgets.keys()))
+        .select(
             F.col(strata_col).alias(cs),
             F.coalesce(pr, F.lit(-1)).alias("_pb"),
             F.col(tokens_col).alias("_pt"),
